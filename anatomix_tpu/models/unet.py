@@ -1,0 +1,405 @@
+"""The anatomix UNet, rebuilt TPU-first in functional JAX.
+
+Design
+------
+The reference builds a *flat* `nn.Sequential` encoder-decoder with skip
+bookkeeping via index lists (`/root/reference/anatomix/model/network.py:
+210-548`). Downstream code depends on those flat indices twice over:
+checkpoint keys are `model.<idx>.*`, and the contrastive pretraining taps
+activations at indices (default 27,31,38,45,52,65).
+
+Here the architecture is a static *layer plan* — a tuple of layer specs
+computed once from the config with the exact same index scheme — and a pure
+`unet_apply(plan, params, x)` function that iterates it at trace time. Under
+`jax.jit` the whole network compiles to one XLA program (fused conv+norm+act,
+no Python dispatch at runtime), data is channel-last (NDHWC) for MXU-friendly
+3D convs, and batch-norm state is handled functionally.
+
+Constructor surface matches `Unet(dimension, input_nc, output_nc, num_downs,
+ngf, norm, final_act, activation, pad_type, doubleconv,
+residual_connection, pooling, interp, use_skip_connection, norm_eps)`
+(`network.py:262-279`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anatomix_tpu.ops.activations import get_activation
+from anatomix_tpu.ops.conv import conv3d
+from anatomix_tpu.ops.norms import (
+    batch_norm_inference,
+    batch_norm_train,
+    instance_norm,
+)
+from anatomix_tpu.ops.pool import avg_pool, max_pool
+from anatomix_tpu.ops.resize import upsample2x
+
+
+@dataclasses.dataclass(frozen=True)
+class UnetConfig:
+    """Mirrors the reference `Unet.__init__` signature (`network.py:262`)."""
+
+    dimension: int = 3
+    input_nc: int = 1
+    output_nc: int = 16
+    num_downs: int = 4
+    ngf: int = 24
+    norm: str = "batch"
+    final_act: str = "none"
+    activation: str = "relu"
+    pad_type: str = "reflect"
+    doubleconv: bool = True
+    residual_connection: bool = False
+    pooling: str = "Max"
+    interp: str = "nearest"
+    use_skip_connection: bool = True
+    norm_eps: float = 1e-5
+
+    def __post_init__(self):
+        if self.dimension != 3:
+            raise NotImplementedError(
+                "anatomix_tpu currently implements the 3D UNet only "
+                "(all shipped variants are 3D)."
+            )
+        if self.activation == "prelu" or self.final_act == "prelu":
+            raise NotImplementedError("PReLU is not supported yet.")
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerSpec:
+    kind: str  # 'conv' | 'norm' | 'act' | 'pool' | 'upsample' | 'final_act'
+    in_ch: int = 0
+    out_ch: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class UnetPlan:
+    """Static layer plan with the reference's flat-Sequential index scheme."""
+
+    config: UnetConfig
+    layers: tuple[LayerSpec, ...]
+    encoder_idx: tuple[int, ...]
+    decoder_idx: tuple[int, ...]
+    res_source: tuple[int, ...]
+    res_dest: tuple[int, ...]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layers)
+
+    @property
+    def conv_indices(self) -> tuple[int, ...]:
+        return tuple(
+            i for i, s in enumerate(self.layers) if s.kind == "conv"
+        )
+
+    def tap_channels(self, layers: Sequence[int]) -> tuple[int, ...]:
+        """Channel width of the activation collected at each tap index.
+
+        Needed so the pretraining projector MLPs can be built statically
+        (the reference creates them lazily at first forward,
+        `pretraining/models/pretraining_networks.py:409-410`).
+        """
+        widths = {}
+        ch = self.config.input_nc
+        enc_stack: list[int] = []
+        for i, spec in enumerate(self.layers):
+            if spec.kind == "conv":
+                ch = spec.out_ch
+            if self.config.use_skip_connection:
+                if i in self.decoder_idx:
+                    ch = enc_stack.pop() + ch
+                if i in self.encoder_idx:
+                    enc_stack.append(ch)
+            widths[i] = ch
+        return tuple(widths[i] for i in layers)
+
+
+def build_plan(config: UnetConfig) -> UnetPlan:
+    """Reproduce the reference constructor's layer/index layout
+    (`network.py:286-465`)."""
+    cfg = config
+    has_norm = cfg.norm != "none"
+    has_act = cfg.activation != "none"
+    has_final_act = cfg.final_act != "none"
+
+    layers: list[LayerSpec] = []
+    res_source: list[int] = []
+    res_dest: list[int] = []
+    encoder_idx: list[int] = []
+    decoder_idx: list[int] = []
+
+    def add_conv_block(in_ch, out_ch):
+        layers.append(LayerSpec("conv", in_ch, out_ch))
+        res_source.append(len(layers) - 1)
+        if has_norm:
+            layers.append(LayerSpec("norm", out_ch, out_ch))
+        if has_act:
+            layers.append(LayerSpec("act"))
+        res_dest.append(len(layers) - 1)
+
+    # Stem
+    add_conv_block(cfg.input_nc, cfg.ngf)
+
+    # Encoder
+    in_ngf = cfg.ngf
+    for i in range(cfg.num_downs):
+        mult = 1 if i == 0 else 2
+        add_conv_block(in_ngf, in_ngf * mult)
+        if cfg.doubleconv:
+            add_conv_block(in_ngf * mult, in_ngf * mult)
+        encoder_idx.append(len(layers) - 1)
+        layers.append(LayerSpec("pool"))
+        in_ngf *= mult
+
+    # Bottleneck
+    add_conv_block(in_ngf, in_ngf * 2)
+    if cfg.doubleconv:
+        add_conv_block(in_ngf * 2, in_ngf * 2)
+
+    # Decoder
+    mult = 2 ** cfg.num_downs
+    for i in range(cfg.num_downs):
+        decoder_idx.append(len(layers))
+        layers.append(LayerSpec("upsample"))
+        m = mult + mult // 2 if cfg.use_skip_connection else mult
+        add_conv_block(cfg.ngf * m, cfg.ngf * (mult // 2))
+        if cfg.doubleconv:
+            add_conv_block(cfg.ngf * (mult // 2), cfg.ngf * (mult // 2))
+        mult //= 2
+
+    # Final conv (+ optional final activation), no norm
+    layers.append(LayerSpec("conv", cfg.ngf * mult, cfg.output_nc))
+    if has_final_act:
+        layers.append(LayerSpec("final_act"))
+
+    return UnetPlan(
+        config=cfg,
+        layers=tuple(layers),
+        encoder_idx=tuple(encoder_idx),
+        decoder_idx=tuple(decoder_idx),
+        res_source=tuple(res_source),
+        res_dest=tuple(res_dest),
+    )
+
+
+# -----------------------------------------------------------------------------
+# Parameters
+
+def init_params(
+    plan: UnetPlan,
+    key: jax.Array,
+    *,
+    init_type: str = "kaiming",
+    init_gain: float = 0.02,
+    dtype=jnp.float32,
+) -> dict[str, Any]:
+    """Initialize a parameter pytree (keys = flat layer indices as strings).
+
+    Matches the reference's `init_weights` options
+    (`pretraining/models/pretraining_networks.py`): kaiming = He normal
+    fan_in, xavier = Glorot normal with gain, normal = N(0, gain),
+    orthogonal not supported. Conv bias -> 0; batch-norm scale ~ N(1, gain),
+    bias -> 0.
+    """
+    cfg = plan.config
+    use_bias = cfg.norm == "instance"
+    params: dict[str, Any] = {}
+    for idx, spec in enumerate(plan.layers):
+        if spec.kind == "conv":
+            key, sub = jax.random.split(key)
+            shape = (3, 3, 3, spec.in_ch, spec.out_ch)
+            fan_in = spec.in_ch * 27
+            fan_out = spec.out_ch * 27
+            if init_type == "kaiming":
+                std = math.sqrt(2.0 / fan_in)
+            elif init_type == "xavier":
+                std = init_gain * math.sqrt(2.0 / (fan_in + fan_out))
+            elif init_type == "normal":
+                std = init_gain
+            else:
+                raise ValueError(f"Unsupported init_type: {init_type}")
+            p = {"w": jax.random.normal(sub, shape, dtype) * std}
+            if use_bias:
+                p["b"] = jnp.zeros((spec.out_ch,), dtype)
+            params[str(idx)] = p
+        elif spec.kind == "norm":
+            if cfg.norm == "batch":
+                key, sub = jax.random.split(key)
+                params[str(idx)] = {
+                    "scale": 1.0
+                    + jax.random.normal(sub, (spec.out_ch,), dtype)
+                    * init_gain,
+                    "bias": jnp.zeros((spec.out_ch,), dtype),
+                    "mean": jnp.zeros((spec.out_ch,), jnp.float32),
+                    "var": jnp.ones((spec.out_ch,), jnp.float32),
+                }
+            elif cfg.norm == "instance_affine":
+                params[str(idx)] = {
+                    "scale": jnp.ones((spec.out_ch,), dtype),
+                    "bias": jnp.zeros((spec.out_ch,), dtype),
+                }
+            # plain instance norm: parameter-free
+    return params
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+# -----------------------------------------------------------------------------
+# Forward
+
+def unet_apply(
+    plan: UnetPlan,
+    params: dict[str, Any],
+    x: jax.Array,
+    *,
+    layers: Sequence[int] = (),
+    encode_only: bool = False,
+    train: bool = False,
+    compute_dtype=None,
+    bn_axis_name: str | None = None,
+):
+    """Run the UNet on NDHWC input `x`.
+
+    Semantics match `Unet.forward` (`network.py:467-548`):
+      * no `layers`: returns the output volume (and batch-stat updates when
+        `train=True` with batch norm).
+      * `layers=[...]`: returns `(out, [activations at those flat indices])`.
+      * `encode_only=True`: early-exits after the last tap, returning only
+        the activation list.
+
+    `train=True` makes batch norm use current-batch statistics and also
+    returns `new_stats`, a dict of `{layer_idx: (mean, var)}` running-stat
+    updates (momentum 0.1, torch-style unbiased update).
+    """
+    cfg = plan.config
+    act = get_activation(cfg.activation)
+    final_act = get_activation(cfg.final_act)
+    layers = tuple(layers)
+    want_taps = len(layers) > 0
+
+    feat = x
+    feats: list[jax.Array] = []
+    enc_feats: list[jax.Array] = []
+    res_tmp = None
+    new_stats: dict[str, tuple] = {}
+
+    for idx, spec in enumerate(plan.layers):
+        p = params.get(str(idx))
+        if spec.kind == "conv":
+            feat = conv3d(
+                feat,
+                p["w"],
+                p.get("b"),
+                padding="SAME",
+                pad_type=cfg.pad_type,
+                compute_dtype=compute_dtype,
+            )
+        elif spec.kind == "norm":
+            if cfg.norm == "batch":
+                if train:
+                    feat, m, v = batch_norm_train(
+                        feat,
+                        p["mean"],
+                        p["var"],
+                        p["scale"],
+                        p["bias"],
+                        eps=cfg.norm_eps,
+                        axis_name=bn_axis_name,
+                    )
+                    new_stats[str(idx)] = (m, v)
+                else:
+                    feat = batch_norm_inference(
+                        feat,
+                        p["mean"],
+                        p["var"],
+                        p["scale"],
+                        p["bias"],
+                        eps=cfg.norm_eps,
+                    )
+            elif cfg.norm == "instance":
+                feat = instance_norm(feat, eps=cfg.norm_eps)
+            elif cfg.norm == "instance_affine":
+                feat = instance_norm(
+                    feat, eps=cfg.norm_eps, scale=p["scale"], bias=p["bias"]
+                )
+        elif spec.kind == "act":
+            feat = act(feat)
+        elif spec.kind == "pool":
+            feat = (
+                max_pool(feat, 2) if cfg.pooling == "Max" else avg_pool(feat, 2)
+            )
+        elif spec.kind == "upsample":
+            feat = upsample2x(
+                feat, "nearest" if cfg.interp == "nearest" else "trilinear"
+            )
+        elif spec.kind == "final_act":
+            feat = final_act(feat)
+
+        if cfg.residual_connection and idx in plan.res_source:
+            res_tmp = feat
+        if cfg.residual_connection and idx in plan.res_dest:
+            feat = feat + 0.1 * res_tmp
+
+        if cfg.use_skip_connection:
+            if idx in plan.decoder_idx:
+                # torch concatenates (encoder, decoder) on the channel axis
+                # (`network.py:502`); channel-last keeps the same order.
+                feat = jnp.concatenate([enc_feats.pop(), feat], axis=-1)
+            if idx in plan.encoder_idx:
+                enc_feats.append(feat)
+
+        if want_taps and idx in layers:
+            feats.append(feat)
+            if encode_only and idx == layers[-1]:
+                return feats
+
+    if want_taps:
+        return (feat, feats) if not train else (feat, feats, new_stats)
+    return feat if not train else (feat, new_stats)
+
+
+# -----------------------------------------------------------------------------
+# Convenience object
+
+class Unet:
+    """Thin convenience wrapper bundling a plan with params.
+
+    Functional code should use `build_plan` + `unet_apply` directly; this
+    class exists for API familiarity with the reference's `Unet(...)`.
+    """
+
+    def __init__(self, *args, params=None, **kwargs):
+        # Accept the reference's positional signature:
+        # Unet(dimension, input_nc, output_nc, num_downs, ngf=..., ...)
+        names = ["dimension", "input_nc", "output_nc", "num_downs"]
+        for name, val in zip(names, args):
+            kwargs[name] = val
+        self.config = UnetConfig(**kwargs)
+        self.plan = build_plan(self.config)
+        self.params = params
+
+    def init(self, key, **kw):
+        self.params = init_params(self.plan, key, **kw)
+        return self.params
+
+    def __call__(self, x, layers=(), encode_only=False, **kw):
+        if self.params is None:
+            raise ValueError("Call .init(key) or set .params first.")
+        return unet_apply(
+            self.plan,
+            self.params,
+            x,
+            layers=layers,
+            encode_only=encode_only,
+            **kw,
+        )

@@ -1,0 +1,89 @@
+"""Pooling ops (NDHWC) matching torch semantics.
+
+* `max_pool` / `avg_pool`: the UNet's `Pool(2)` downsampling
+  (`/root/reference/anatomix/model/network.py:297,368`).
+* `avg_pool3d`: the registration stack's general
+  `F.avg_pool3d(kernel, padding, stride)` with torch's default
+  `count_include_pad=True` (zeros contribute to the average) — used as a box
+  filter everywhere in ConvexAdam (`/root/reference/anatomix/registration/
+  convex_adam_utils.py:105-131,380-384,520-527`).
+* `box_filter`: repeated stride-1 box smoothing (`apply_avg_pool3d`,
+  `convex_adam_utils.py:105-131`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _as3(v):
+    return (v,) * 3 if isinstance(v, int) else tuple(v)
+
+
+def max_pool(x: jax.Array, window: int = 2, stride: int | None = None):
+    """MaxPool over spatial dims of NDHWC (torch ceil_mode=False)."""
+    w = _as3(window)
+    s = _as3(stride if stride is not None else window)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(
+            x.dtype
+        ).min,
+        jax.lax.max,
+        window_dimensions=(1, *w, 1),
+        window_strides=(1, *s, 1),
+        padding="VALID",
+    )
+
+
+def avg_pool(x: jax.Array, window: int = 2, stride: int | None = None):
+    """AvgPool over spatial dims of NDHWC, no padding."""
+    w = _as3(window)
+    s = _as3(stride if stride is not None else window)
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, *w, 1),
+        window_strides=(1, *s, 1),
+        padding="VALID",
+    )
+    return (summed / (w[0] * w[1] * w[2])).astype(x.dtype)
+
+
+def avg_pool3d(
+    x: jax.Array,
+    kernel_size,
+    *,
+    stride=1,
+    padding=0,
+) -> jax.Array:
+    """torch `F.avg_pool3d(count_include_pad=True)` on NDHWC input.
+
+    Zero-pads by `padding` on each side, then computes windowed means
+    dividing by the full kernel volume (padded zeros included), exactly like
+    torch's default.
+    """
+    k = _as3(kernel_size)
+    s = _as3(stride)
+    p = _as3(padding)
+    pads = ((0, 0), (p[0], p[0]), (p[1], p[1]), (p[2], p[2]), (0, 0))
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32),
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, *k, 1),
+        window_strides=(1, *s, 1),
+        padding=pads,
+    )
+    return (summed / (k[0] * k[1] * k[2])).astype(x.dtype)
+
+
+def box_filter(x: jax.Array, kernel_size: int, num_repeats: int) -> jax.Array:
+    """Repeated stride-1 zero-padded box smoothing (`apply_avg_pool3d`,
+    `/root/reference/anatomix/registration/convex_adam_utils.py:105-131`)."""
+    pad = kernel_size // 2
+    for _ in range(num_repeats):
+        x = avg_pool3d(x, kernel_size, stride=1, padding=pad)
+    return x

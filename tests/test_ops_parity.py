@@ -1,0 +1,227 @@
+"""Op-level parity tests vs torch oracles (the 'unforgiving ≤1e-3' ladder).
+
+Each op the reference relies on — same-pad reflect conv, instance/batch
+norm, pooling, nearest/trilinear upsampling, avg_pool3d box filters,
+grid_sample — is checked against torch on small random volumes.
+"""
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_torch
+
+TOL = 1e-5
+
+
+def to_t(x):
+    """NDHWC numpy -> torch NCDHW tensor."""
+    import torch
+
+    return torch.from_numpy(np.ascontiguousarray(np.moveaxis(x, -1, 1)))
+
+
+def from_t(t):
+    """torch NCDHW -> NDHWC numpy."""
+    return np.moveaxis(t.detach().numpy(), 1, -1)
+
+
+@requires_torch
+@pytest.mark.parametrize("pad_type", ["zeros", "reflect", "replicate"])
+def test_conv3d_same(rng, pad_type):
+    import torch
+
+    from anatomix_tpu.ops.conv import conv3d, torch_conv_weight_to_jax
+
+    x = rng.standard_normal((2, 8, 9, 10, 3), dtype=np.float32)
+    conv = torch.nn.Conv3d(
+        3, 5, 3, padding="same",
+        padding_mode=pad_type if pad_type != "zeros" else "zeros",
+    )
+    with torch.no_grad():
+        ref = from_t(conv(to_t(x)))
+    w = torch_conv_weight_to_jax(conv.weight.detach().numpy())
+    b = conv.bias.detach().numpy()
+    got = np.asarray(
+        conv3d(x, w, b, padding="SAME", pad_type=pad_type)
+    )
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+def test_instance_norm(rng):
+    import torch
+
+    from anatomix_tpu.ops.norms import instance_norm
+
+    x = rng.standard_normal((2, 6, 7, 8, 4), dtype=np.float32)
+    norm = torch.nn.InstanceNorm3d(4, eps=1e-2, track_running_stats=False)
+    ref = from_t(norm(to_t(x)))
+    got = np.asarray(instance_norm(x, eps=1e-2))
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+def test_batch_norm_eval(rng):
+    import torch
+
+    from anatomix_tpu.ops.norms import batch_norm_inference
+
+    x = rng.standard_normal((2, 6, 7, 8, 4), dtype=np.float32)
+    norm = torch.nn.BatchNorm3d(4, eps=1e-5)
+    with torch.no_grad():
+        norm.weight.copy_(torch.from_numpy(
+            rng.standard_normal(4, dtype=np.float32)))
+        norm.bias.copy_(torch.from_numpy(
+            rng.standard_normal(4, dtype=np.float32)))
+        norm.running_mean.copy_(torch.from_numpy(
+            rng.standard_normal(4, dtype=np.float32)))
+        norm.running_var.copy_(torch.from_numpy(
+            rng.random(4, dtype=np.float32) + 0.5))
+    norm.eval()
+    with torch.no_grad():
+        ref = from_t(norm(to_t(x)))
+    got = np.asarray(
+        batch_norm_inference(
+            x,
+            norm.running_mean.numpy(),
+            norm.running_var.numpy(),
+            norm.weight.detach().numpy(),
+            norm.bias.detach().numpy(),
+            eps=1e-5,
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+def test_batch_norm_train_stats(rng):
+    import torch
+
+    from anatomix_tpu.ops.norms import batch_norm_train
+
+    x = rng.standard_normal((2, 4, 5, 6, 3), dtype=np.float32)
+    norm = torch.nn.BatchNorm3d(3, eps=1e-5, momentum=0.1)
+    norm.train()
+    ref = from_t(norm(to_t(x)))
+    got, new_mean, new_var = batch_norm_train(
+        x,
+        np.zeros(3, np.float32),
+        np.ones(3, np.float32),
+        norm.weight.detach().numpy(),
+        norm.bias.detach().numpy(),
+        eps=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(new_mean), norm.running_mean.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_var), norm.running_var.numpy(), atol=1e-4, rtol=1e-4
+    )
+
+
+@requires_torch
+@pytest.mark.parametrize("kind", ["max", "avg"])
+def test_pool2(rng, kind):
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.pool import avg_pool, max_pool
+
+    x = rng.standard_normal((2, 8, 10, 12, 3), dtype=np.float32)
+    if kind == "max":
+        ref = from_t(F.max_pool3d(to_t(x), 2))
+        got = np.asarray(max_pool(x, 2))
+    else:
+        ref = from_t(F.avg_pool3d(to_t(x), 2))
+        got = np.asarray(avg_pool(x, 2))
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+@pytest.mark.parametrize("k,pad,stride", [(3, 1, 1), (5, 2, 1), (2, 0, 2)])
+def test_avg_pool3d_padded(rng, k, pad, stride):
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.pool import avg_pool3d
+
+    x = rng.standard_normal((1, 7, 8, 9, 3), dtype=np.float32)
+    ref = from_t(F.avg_pool3d(to_t(x), k, padding=pad, stride=stride))
+    got = np.asarray(avg_pool3d(x, k, padding=pad, stride=stride))
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+@pytest.mark.parametrize("mode", ["nearest", "trilinear"])
+def test_upsample2x(rng, mode):
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.resize import upsample2x
+
+    x = rng.standard_normal((1, 5, 6, 7, 3), dtype=np.float32)
+    ref = from_t(F.interpolate(to_t(x), scale_factor=2, mode=mode))
+    got = np.asarray(upsample2x(x, mode))
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_resize3d_arbitrary(rng, align_corners):
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.resize import resize3d
+
+    x = rng.standard_normal((1, 5, 6, 7, 2), dtype=np.float32)
+    ref = from_t(
+        F.interpolate(
+            to_t(x), size=(9, 4, 11), mode="trilinear",
+            align_corners=align_corners,
+        )
+    )
+    got = np.asarray(
+        resize3d(x, (9, 4, 11), mode="trilinear",
+                 align_corners=align_corners)
+    )
+    np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
+
+
+@requires_torch
+@pytest.mark.parametrize("align_corners", [False, True])
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+def test_grid_sample(rng, align_corners, mode):
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.grid_sample import grid_sample
+
+    x = rng.standard_normal((2, 6, 7, 8, 3), dtype=np.float32)
+    # include out-of-bounds coordinates to exercise zeros padding
+    grid = (rng.random((2, 4, 5, 6, 3), dtype=np.float32) * 2.6) - 1.3
+    import torch
+
+    ref = from_t(
+        F.grid_sample(
+            to_t(x),
+            torch.from_numpy(grid),
+            mode=mode,
+            align_corners=align_corners,
+        )
+    )
+    got = np.asarray(
+        grid_sample(x, grid, mode=mode, align_corners=align_corners)
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-3)
+
+
+@requires_torch
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_identity_grid(align_corners):
+    import torch
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.grid_sample import identity_grid
+
+    ref = F.affine_grid(
+        torch.eye(3, 4).unsqueeze(0), (1, 1, 5, 6, 7),
+        align_corners=align_corners,
+    ).numpy()
+    got = np.asarray(identity_grid((5, 6, 7), align_corners=align_corners))
+    np.testing.assert_allclose(got, ref, atol=1e-6)

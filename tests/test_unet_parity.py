@@ -1,0 +1,211 @@
+"""Golden parity: the JAX UNet vs the reference torch UNet (BASELINE cfg 1).
+
+Builds the torch reference model (imported read-only from /root/reference),
+converts its randomly initialized state dict with `convert_state_dict`, and
+compares features on random volumes. The north-star bound is ≤1e-3; these
+tests hold ~1e-5 in fp32.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+REF_PATH = "/root/reference"
+
+
+def _torch_unet(**kwargs):
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    from anatomix.model.network import Unet as TorchUnet
+
+    model = TorchUnet(**kwargs)
+    model.eval()
+    return model
+
+
+def _jax_from_torch(model, **kwargs):
+    from anatomix_tpu.models.convert import convert_state_dict
+    from anatomix_tpu.models.unet import UnetConfig, build_plan
+
+    plan = build_plan(UnetConfig(**kwargs))
+    params = convert_state_dict(plan, model.state_dict())
+    return plan, params
+
+
+VARIANT_KWARGS = {
+    "anatomix": dict(
+        dimension=3, input_nc=1, output_nc=16, num_downs=4, ngf=16,
+    ),
+    "anatomix-dev-small": dict(
+        # anatomix-dev semantics (instance norm, Avg pool, trilinear) at a
+        # test-friendly scale
+        dimension=3, input_nc=1, output_nc=8, num_downs=3, ngf=8,
+        norm="instance", pooling="Avg", interp="trilinear", norm_eps=1e-2,
+    ),
+    "nonorm-lrelu": dict(
+        dimension=3, input_nc=2, output_nc=4, num_downs=2, ngf=4,
+        norm="none", activation="lrelu", pad_type="zeros", pooling="Avg",
+    ),
+    "residual": dict(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+        residual_connection=True,
+    ),
+    "noskip": dict(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+        use_skip_connection=False,
+    ),
+    "singleconv": dict(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+        doubleconv=False,
+    ),
+}
+
+
+def _randomize_bn_stats(model, rng):
+    """Give batch norms non-trivial running stats so eval mode is exercised."""
+    import torch
+
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.BatchNorm3d):
+            with torch.no_grad():
+                mod.running_mean.copy_(
+                    torch.from_numpy(
+                        rng.standard_normal(
+                            mod.running_mean.shape[0]
+                        ).astype(np.float32)
+                        * 0.1
+                    )
+                )
+                mod.running_var.copy_(
+                    torch.from_numpy(
+                        (
+                            rng.random(mod.running_var.shape[0]) + 0.5
+                        ).astype(np.float32)
+                    )
+                )
+
+
+@requires_reference
+@pytest.mark.parametrize("name", sorted(VARIANT_KWARGS))
+def test_unet_forward_parity(rng, name):
+    import torch
+
+    from anatomix_tpu.models.unet import unet_apply
+
+    kwargs = VARIANT_KWARGS[name]
+    model = _torch_unet(**kwargs)
+    _randomize_bn_stats(model, rng)
+    plan, params = _jax_from_torch(model, **kwargs)
+
+    size = 16 if kwargs["num_downs"] <= 3 else 32
+    x = rng.standard_normal(
+        (1, size, size, size, kwargs["input_nc"]), dtype=np.float32
+    )
+    with torch.no_grad():
+        ref = (
+            model(torch.from_numpy(np.moveaxis(x, -1, 1)))
+            .numpy()
+        )
+    ref = np.moveaxis(ref, 1, -1)
+    got = np.asarray(unet_apply(plan, params, x))
+    assert got.shape == ref.shape
+    err = np.max(np.abs(got - ref)) / (np.max(np.abs(ref)) + 1e-12)
+    assert err < 1e-3, f"relative max err {err}"
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_unet_taps_parity(rng):
+    """The pretraining tap path: layers=[27,31,38,45,52,65] on the 6M arch."""
+    import torch
+
+    from anatomix_tpu.models.unet import unet_apply
+
+    kwargs = VARIANT_KWARGS["anatomix"]
+    model = _torch_unet(**kwargs)
+    _randomize_bn_stats(model, rng)
+    plan, params = _jax_from_torch(model, **kwargs)
+
+    taps = [27, 31, 38, 45, 52, 65]
+    x = rng.standard_normal((1, 32, 32, 32, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref_out, ref_feats = model(
+            torch.from_numpy(np.moveaxis(x, -1, 1)), layers=taps
+        )
+    got_out, got_feats = unet_apply(plan, params, x, layers=taps)
+    assert len(got_feats) == len(ref_feats)
+    for got, ref in zip(got_feats, ref_feats):
+        ref = np.moveaxis(ref.numpy(), 1, -1)
+        np.testing.assert_allclose(
+            np.asarray(got), ref, atol=5e-4, rtol=1e-3
+        )
+    np.testing.assert_allclose(
+        np.asarray(got_out),
+        np.moveaxis(ref_out.numpy(), 1, -1),
+        atol=5e-4,
+        rtol=1e-3,
+    )
+
+    # encode_only early-exits after the last tap
+    feats_only = unet_apply(
+        plan, params, x, layers=taps, encode_only=True
+    )
+    assert len(feats_only) == len(taps)
+    np.testing.assert_allclose(
+        np.asarray(feats_only[0]), np.asarray(got_feats[0]), atol=1e-6
+    )
+
+
+@requires_reference
+def test_plan_matches_reference_indices():
+    """Structural check: encoder/decoder skip indices match the torch model."""
+    from anatomix_tpu.models.unet import UnetConfig, build_plan
+
+    kwargs = VARIANT_KWARGS["anatomix"]
+    model = _torch_unet(**kwargs)
+    plan = build_plan(UnetConfig(**kwargs))
+    assert list(plan.encoder_idx) == model.encoder_idx
+    assert list(plan.decoder_idx) == model.decoder_idx
+    assert list(plan.res_source) == model.res_source
+    assert list(plan.res_dest) == model.res_dest
+    assert plan.num_layers == len(model.model)
+
+
+@requires_reference
+def test_param_count_6m():
+    import jax
+
+    from anatomix_tpu.models.unet import (
+        UnetConfig,
+        build_plan,
+        init_params,
+        param_count,
+    )
+
+    plan = build_plan(UnetConfig(**VARIANT_KWARGS["anatomix"]))
+    params = init_params(plan, jax.random.PRNGKey(0))
+    model = _torch_unet(**VARIANT_KWARGS["anatomix"])
+    ref_count = sum(p.numel() for p in model.parameters())
+    # JAX params include BN running stats (not torch "parameters"); count
+    # trainables only: exclude mean/var.
+    trainable = 0
+    for sub in params.values():
+        for leaf_name, leaf in sub.items():
+            if leaf_name not in ("mean", "var"):
+                trainable += leaf.size
+    assert trainable == ref_count
+    assert 5.5e6 < param_count(params) < 7e6
+
+
+def test_tap_channels():
+    """Tap widths for the default NCE layers on the 6M arch
+    (SURVEY.md: 128/256/128/64/32/16)."""
+    from anatomix_tpu.models.unet import UnetConfig, build_plan
+
+    plan = build_plan(UnetConfig(**VARIANT_KWARGS["anatomix"]))
+    assert plan.tap_channels([27, 31, 38, 45, 52, 65]) == (
+        128, 256, 128, 64, 32, 16,
+    )
