@@ -1,0 +1,349 @@
+"""The pretraining train step: pure, jitted, data-parallel over a mesh.
+
+Replaces the reference's `SupCLModel.optimize_parameters`
+(`/root/reference/pretraining/models/supcl_model.py:603-661`) +
+`calculate_NCE_loss` (`supcl_model.py:801-843`): forward the two views
+through the UNet collecting tap activations, sample per-sample patch
+coordinates shared across views, project with the per-tap MLPs, sum the
+per-tap SupPatchNCE losses (weights default to 1/num_taps, `supcl_model.py:
+388-399`), and take one AdamW step on both networks (`supcl_model.py:
+508-517,583-591`).
+
+TPU-native differences: bf16-friendly fp32-norm compute replaces
+AMP+GradScaler (no loss scaling needed on TPU), batch-norm running stats are
+threaded functionally, and data parallelism is expressed with
+`NamedSharding` on the batch — XLA inserts the grad all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from anatomix_tpu.models.unet import UnetPlan, init_params, unet_apply
+from anatomix_tpu.pretraining.losses import sup_patch_nce_loss
+from anatomix_tpu.pretraining.patch_sample import (
+    apply_patch_mlp,
+    gather_at_coords,
+    init_patch_mlps,
+    labels_at_coords,
+    sample_patch_coords,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params_g: Any
+    params_f: Any
+    opt_state_g: Any
+    opt_state_f: Any
+
+
+def _trainable_mask(params):
+    """False for batch-norm running stats (they are not optimizer targets;
+    AdamW weight decay must not touch them)."""
+
+    def mask_leaf(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        return not any(k in ("mean", "var") for k in keys)
+
+    return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def make_optimizer(
+    lr: float = 2e-4,
+    *,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    weight_decay: float = 1e-5,
+    grad_clip: float | None = None,
+    schedule=None,
+):
+    """AdamW matching the reference's optimizer_G/optimizer_F settings."""
+    tx = optax.adamw(
+        schedule if schedule is not None else lr,
+        b1=beta1,
+        b2=beta2,
+        weight_decay=weight_decay,
+    )
+    if grad_clip is not None:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    return tx
+
+
+def init_train_state(
+    plan: UnetPlan,
+    key: jax.Array,
+    *,
+    tap_layers: Sequence[int],
+    num_patches: int = 512,
+    netf_nc: int = 256,
+    n_mlps: int = 3,
+    lr: float = 2e-4,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    weight_decay: float = 1e-5,
+    grad_clip: float | None = None,
+    init_type: str = "kaiming",
+    init_gain: float = 0.02,
+    schedule=None,
+    params_g: Any = None,
+) -> TrainState:
+    kg, kf = jax.random.split(key)
+    if params_g is None:
+        params_g = init_params(
+            plan, kg, init_type=init_type, init_gain=init_gain
+        )
+    params_f = init_patch_mlps(
+        kf,
+        plan.tap_channels(tuple(tap_layers)),
+        nc=netf_nc,
+        n_mlps=n_mlps,
+        init_type=init_type,
+        init_gain=init_gain,
+    )
+    tx = make_optimizer(
+        lr, beta1=beta1, beta2=beta2, weight_decay=weight_decay,
+        grad_clip=grad_clip, schedule=schedule,
+    )
+    tx_g = optax.masked(tx, _trainable_mask(params_g))
+    tx_f = optax.masked(tx, _trainable_mask(params_f))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params_g=params_g,
+        params_f=params_f,
+        opt_state_g=tx_g.init(params_g),
+        opt_state_f=tx_f.init(params_f),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class NCEOptions:
+    temperature: float = 0.33
+    lambda_nce: float = 1.0
+    weigh_rarity: bool = False
+    balance_denominator: bool = False
+    weighting_mode: str = "raw"
+
+
+def nce_forward(
+    plan: UnetPlan,
+    params_g,
+    params_f,
+    views: jax.Array,  # (B, 2, D, H, W, C)
+    segs: jax.Array,  # (B, D, H, W, 1) integer labels
+    rng: jax.Array,
+    *,
+    tap_layers: Sequence[int],
+    num_patches: int,
+    nce: NCEOptions,
+    nce_weights: Sequence[float] | None = None,
+    train: bool = True,
+    compute_dtype=None,
+    bn_axis_name: str | None = None,
+):
+    """Compute the multi-tap SupPatchNCE loss.
+
+    Returns (loss, aux) with aux = dict(new_g_stats, new_f_stats,
+    per_layer_losses).
+    """
+    tap_layers = tuple(tap_layers)
+    B = views.shape[0]
+    x = jnp.concatenate([views[:, 0], views[:, 1]], axis=0)  # (2B, ...)
+
+    if train:
+        _, taps, new_g_stats = unet_apply(
+            plan, params_g, x, layers=tap_layers, train=True,
+            compute_dtype=compute_dtype, bn_axis_name=bn_axis_name,
+        )
+    else:
+        _, taps = unet_apply(
+            plan, params_g, x, layers=tap_layers,
+            compute_dtype=compute_dtype,
+        )
+        new_g_stats = {}
+
+    if nce_weights is None:
+        nce_weights = [1.0 / len(tap_layers)] * len(tap_layers)
+
+    total = 0.0
+    per_layer = {}
+    new_f_stats = {}
+    seg3d = segs[..., 0]
+    for t, (layer_id, feat, w_t) in enumerate(
+        zip(tap_layers, taps, nce_weights)
+    ):
+        tap_spatial = feat.shape[1:4]
+        rng, sub = jax.random.split(rng)
+        keys = jax.random.split(sub, B)
+        coords = jax.vmap(
+            lambda k: sample_patch_coords(k, tap_spatial, num_patches)
+        )(keys)  # (B, P, 3)
+
+        g1 = jax.vmap(gather_at_coords)(feat[:B], coords)  # (B, P, ch)
+        g2 = jax.vmap(gather_at_coords)(feat[B:], coords)
+        stacked = jnp.stack([g1, g2], axis=1)  # (B, 2, P, ch)
+        Bp = stacked.shape[2]
+        flat = stacked.reshape(B * 2 * Bp, stacked.shape[-1])
+        proj, f_stats = apply_patch_mlp(
+            params_f[f"mlp_{t}"], flat, train=train
+        )
+        new_f_stats[f"mlp_{t}"] = {
+            "linears": params_f[f"mlp_{t}"]["linears"],
+            "bns": f_stats,
+        }
+        proj = proj.reshape(B, 2, Bp, -1)
+
+        labels = jax.vmap(
+            lambda s, c: labels_at_coords(s, c, tap_spatial)
+        )(seg3d, coords)  # (B, P)
+
+        loss_t = jnp.mean(
+            jax.vmap(
+                lambda f, l: sup_patch_nce_loss(
+                    f,
+                    l,
+                    temperature=nce.temperature,
+                    weigh_rarity=nce.weigh_rarity,
+                    balance_denominator=nce.balance_denominator,
+                    weighting_mode=nce.weighting_mode,
+                )
+            )(proj, labels)
+        )
+        total = total + loss_t * w_t * nce.lambda_nce
+        per_layer[str(layer_id)] = loss_t
+
+    aux = {
+        "new_g_stats": new_g_stats,
+        "new_f_stats": new_f_stats,
+        "per_layer": per_layer,
+    }
+    return total, aux
+
+
+def _merge_bn_stats(params_g, new_g_stats):
+    merged = dict(params_g)
+    for idx, (mean, var) in new_g_stats.items():
+        merged[idx] = {**params_g[idx], "mean": mean, "var": var}
+    return merged
+
+
+def build_train_step(
+    plan: UnetPlan,
+    *,
+    tap_layers: Sequence[int],
+    num_patches: int = 512,
+    nce_temperature: float = 0.33,
+    lambda_nce: float = 1.0,
+    weigh_rarity: bool = False,
+    balance_denominator: bool = False,
+    weighting_mode: str = "raw",
+    nce_weights: Sequence[float] | None = None,
+    lr: float = 2e-4,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    weight_decay: float = 1e-5,
+    grad_clip: float | None = None,
+    schedule=None,
+    compute_dtype=None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step `(state, views, segs, rng) -> (state,
+    metrics)`.
+
+    With `mesh`, inputs are expected sharded over the 'data' axis and params
+    replicated; the grad all-reduce compiles onto ICI automatically.
+    """
+    nce = NCEOptions(
+        temperature=nce_temperature,
+        lambda_nce=lambda_nce,
+        weigh_rarity=weigh_rarity,
+        balance_denominator=balance_denominator,
+        weighting_mode=weighting_mode,
+    )
+    tx = make_optimizer(
+        lr, beta1=beta1, beta2=beta2, weight_decay=weight_decay,
+        grad_clip=grad_clip, schedule=schedule,
+    )
+
+    def step_fn(state: TrainState, views, segs, rng):
+        def loss_fn(params_g, params_f):
+            return nce_forward(
+                plan, params_g, params_f, views, segs, rng,
+                tap_layers=tap_layers, num_patches=num_patches, nce=nce,
+                nce_weights=nce_weights, train=True,
+                compute_dtype=compute_dtype,
+            )
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(state.params_g, state.params_f)
+        grads_g, grads_f = grads
+
+        tx_g = optax.masked(tx, _trainable_mask(state.params_g))
+        tx_f = optax.masked(tx, _trainable_mask(state.params_f))
+        updates_g, opt_state_g = tx_g.update(
+            grads_g, state.opt_state_g, state.params_g
+        )
+        updates_f, opt_state_f = tx_f.update(
+            grads_f, state.opt_state_f, state.params_f
+        )
+        params_g = optax.apply_updates(state.params_g, updates_g)
+        params_f = optax.apply_updates(state.params_f, updates_f)
+
+        params_g = _merge_bn_stats(params_g, aux["new_g_stats"])
+        # merge projector BN stats (keep updated linears from the optimizer)
+        for name, sub in aux["new_f_stats"].items():
+            params_f[name] = {
+                "linears": params_f[name]["linears"],
+                "bns": [
+                    {
+                        **new_bn,
+                        **{
+                            k: v
+                            for k, v in opt_bn.items()
+                            if k in ("scale", "bias")
+                        },
+                    }
+                    for new_bn, opt_bn in zip(
+                        sub["bns"], params_f[name]["bns"]
+                    )
+                ],
+            }
+
+        grad_norm_g = optax.global_norm(grads_g)
+        grad_norm_f = optax.global_norm(grads_f)
+        metrics = {
+            "loss": loss,
+            "grad_norm_G": grad_norm_g,
+            "grad_norm_F": grad_norm_f,
+            **{f"nce_{k}": v for k, v in aux["per_layer"].items()},
+        }
+        new_state = TrainState(
+            step=state.step + 1,
+            params_g=params_g,
+            params_f=params_f,
+            opt_state_g=opt_state_g,
+            opt_state_f=opt_state_f,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            step_fn,
+            in_shardings=(repl, data, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=donate_argnums,
+        )
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
