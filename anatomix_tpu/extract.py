@@ -89,6 +89,7 @@ def make_feature_extractor(
     plan: UnetPlan,
     params: dict[str, Any],
     *,
+    strategy: str = "sliding",
     roi_size=(128, 128, 128),
     sw_batch_size: int = 2,
     overlap: float = 0.8,
@@ -100,9 +101,22 @@ def make_feature_extractor(
 ):
     """Build a jitted `volume (1,D,H,W,C) -> features (1,D,H,W,out)` fn.
 
-    Defaults replicate the reference's registration-time settings
-    (`convex_adam_utils.py:202-219`).
+    Strategies:
+      * 'sliding' — Gaussian-blended 128³ windows, the reference's exact
+        semantics (`convex_adam_utils.py:202-219`).
+      * 'full' — ONE whole-volume forward. For batch-norm models in eval
+        mode the UNet is fully convolutional, so this computes the same
+        feature map with a single consistent spatial context instead of 343
+        overlapping window contexts — no tiling/blend artifacts, ~1/27th the
+        FLOPs of overlap-0.8 tiling. Not bitwise-comparable to stitching
+        (each stitched voxel mixes windows whose reflect-padding contexts
+        differ); it is the artifact-free version of the same features.
+        Spatial dims are padded to a multiple of 2^num_downs. NOT valid for
+        instance-norm models (their normalization context is per-window).
+      * 'auto' — 'full' for batch/none norms, 'sliding' otherwise.
     """
+    if strategy == "auto":
+        strategy = "full" if plan.config.norm in ("batch", "none") else "sliding"
     if fold_bn:
         plan, params = fold_batchnorm(plan, params)
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -112,6 +126,31 @@ def make_feature_extractor(
         return unet_apply(
             plan, params, windows, compute_dtype=compute_dtype
         )
+
+    if strategy == "full":
+        stride = 2 ** plan.config.num_downs
+
+        @jax.jit
+        def extract(volume):
+            spatial = volume.shape[1:4]
+            pads = [(0, 0)]
+            crops = []
+            for s in spatial:
+                pad = (-s) % stride
+                pads.append((pad // 2, pad - pad // 2))
+                crops.append((pad // 2, pad // 2 + s))
+            pads.append((0, 0))
+            x = jnp.pad(volume, pads) if any(
+                p != (0, 0) for p in pads
+            ) else volume
+            y = window_fn(x)
+            (c0, c1), (c2, c3), (c4, c5) = crops
+            return y[:, c0:c1, c2:c3, c4:c5, :]
+
+        return extract
+
+    if strategy != "sliding":
+        raise ValueError(f"Unknown strategy: {strategy}")
 
     @functools.partial(jax.jit, static_argnums=())
     def extract(volume):

@@ -99,3 +99,42 @@ def test_unit_normalize():
     )
     n = np.linalg.norm(np.asarray(unit_normalize(x)), axis=-1)
     np.testing.assert_allclose(n, 1.0, atol=1e-5)
+
+
+def test_full_strategy_self_consistency():
+    """'full' on an aligned volume equals a direct forward; on an unaligned
+    volume it pads to 2^num_downs and crops back."""
+    plan, params = _model()
+    rng = np.random.default_rng(5)
+    vol = jnp.asarray(
+        rng.standard_normal((1, 16, 16, 16, 1)).astype(np.float32)
+    )
+    full = np.asarray(
+        make_feature_extractor(plan, params, strategy="full")(vol)
+    )
+    direct = np.asarray(unet_apply(plan, params, vol))
+    np.testing.assert_allclose(full, direct, atol=1e-4, rtol=1e-4)
+
+    odd = jnp.asarray(
+        rng.standard_normal((1, 18, 13, 21, 1)).astype(np.float32)
+    )
+    out = make_feature_extractor(plan, params, strategy="full")(odd)
+    assert out.shape == (1, 18, 13, 21, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_auto_strategy_selection():
+    from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
+    import jax as _jax
+
+    plan_in = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+                   norm="instance")
+    )
+    params_in = init_params(plan_in, _jax.random.PRNGKey(0))
+    # instance norm -> sliding (per-window normalization context)
+    fn = make_feature_extractor(
+        plan_in, params_in, strategy="auto", roi_size=(16, 16, 16)
+    )
+    vol = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    assert fn(vol).shape == (1, 16, 16, 16, 4)
