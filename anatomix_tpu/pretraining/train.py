@@ -1,0 +1,298 @@
+"""Pretraining trainer loop + launcher CLI.
+
+Replaces `pretraining/trainers/train.py` + `scripts/pretrain_anatomix.py`
+(the reference shells out to a subprocess; here the launcher IS the
+trainer): two-view H5 dataset with on-device paired augmentation, pure
+jitted AdamW train step (data-parallel over a mesh), const_linear schedule,
+print/display/save cadences, eval cadence with best-val tracking, resumable
+checkpoints (weights + full optimizer state + step), provenance dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from anatomix_tpu.models.unet import UnetConfig, build_plan
+from anatomix_tpu.pretraining.config import PretrainConfig
+from anatomix_tpu.pretraining.dataset import H5TwoViewDataset, make_pair_augment
+from anatomix_tpu.pretraining.schedulers import make_schedule
+from anatomix_tpu.pretraining.train_step import (
+    build_train_step,
+    init_train_state,
+    nce_forward,
+    NCEOptions,
+)
+from anatomix_tpu.utils.checkpoint import (
+    load_state_leaves,
+    save_pytree,
+    save_state_leaves,
+)
+from anatomix_tpu.utils.logging import ScalarLogger
+
+
+def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
+    if cfg.netG == "unet":
+        plan = build_plan(
+            UnetConfig(
+                dimension=cfg.ndims,
+                input_nc=cfg.input_nc,
+                output_nc=cfg.output_nc,
+                num_downs=cfg.num_downs,
+                ngf=cfg.ngf,
+                norm=cfg.normG,
+                activation=cfg.actG,
+                pooling=cfg.pool_type,
+                interp=cfg.interp_type,
+                norm_eps=cfg.norm_eps_G,
+            )
+        )
+        taps = cfg.tap_layers()
+    else:
+        raise NotImplementedError(
+            "primus pretraining lands with the ViT backbone"
+        )
+
+    schedule = make_schedule(
+        cfg.lr, cfg.lr_policy,
+        n_epochs=cfg.n_epochs, n_epochs_decay=cfg.n_epochs_decay,
+        steps_per_epoch=steps_per_epoch,
+    )
+    common = dict(
+        tap_layers=taps,
+        num_patches=cfg.num_patches,
+        lr=cfg.lr,
+        beta1=cfg.beta1,
+        beta2=cfg.beta2,
+        weight_decay=cfg.weight_decay,
+        grad_clip=cfg.max_norm_G if cfg.clip_grad else None,
+        grad_clip_f=cfg.max_norm_F if cfg.clip_grad else None,
+        grad_accum=cfg.grad_accum_iters,
+        schedule=schedule,
+    )
+    state = init_train_state(
+        plan,
+        jax.random.PRNGKey(cfg.seed),
+        netf_nc=cfg.netF_nc,
+        n_mlps=cfg.n_mlps,
+        init_type=cfg.init_type,
+        init_gain=cfg.init_gain,
+        **common,
+    )
+    step = build_train_step(
+        plan,
+        nce_temperature=cfg.nce_T,
+        lambda_nce=cfg.lambda_NCE,
+        weigh_rarity=cfg.weigh_rarity,
+        balance_denominator=cfg.balance_denominator,
+        weighting_mode=cfg.weighting_mode,
+        nce_weights=cfg.nce_weights,
+        mesh=mesh,
+        donate=False,
+        **common,
+    )
+    return plan, taps, state, step
+
+
+def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches):
+    """Validation loss on full volumes (no aug), `train.py:317-376`."""
+    aug_off = dataclasses.replace(
+        cfg, augment=False, crop_size=-1, batch_size=1
+    )
+    nce = NCEOptions(
+        temperature=cfg.nce_T, lambda_nce=cfg.lambda_NCE,
+        weigh_rarity=cfg.weigh_rarity,
+        balance_denominator=cfg.balance_denominator,
+        weighting_mode=cfg.weighting_mode,
+    )
+    losses = []
+    n = min(n_batches, len(val_ds.subjects))
+    for i in range(n):
+        img_a, img_b, seg = val_ds.get(i, rng_np)
+        views = jnp.stack([
+            jnp.asarray(img_a)[..., None], jnp.asarray(img_b)[..., None]
+        ])[None]
+        segs = jnp.asarray(seg, jnp.int32)[None, ..., None]
+        loss, _ = nce_forward(
+            plan, state.params_g, state.params_f, views, segs,
+            jax.random.PRNGKey(i), tap_layers=taps,
+            num_patches=cfg.num_patches, nce=nce,
+            nce_weights=cfg.nce_weights, train=False,
+        )
+        losses.append(float(loss))
+    return float(np.mean(losses)) if losses else float("nan")
+
+
+def train(cfg: PretrainConfig, train_h5: str | None = None,
+          val_h5: str | None = None):
+    run_dir = os.path.join(cfg.ckpt_dir, cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    cfg.save(os.path.join(run_dir, "train_opt.json"))
+
+    train_h5 = train_h5 or os.path.join(cfg.dataroot, "train_data.hdf5")
+    val_h5 = val_h5 or os.path.join(cfg.dataroot, "val_data.hdf5")
+    train_ds = H5TwoViewDataset(train_h5, cfg, train=True)
+    val_ds = (
+        H5TwoViewDataset(val_h5, cfg, train=False)
+        if os.path.exists(val_h5)
+        else None
+    )
+
+    mesh = None
+    n_dev = cfg.data_parallel_devices or len(jax.devices())
+    if n_dev > 1 and cfg.batch_size % n_dev == 0:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+        print(f"Data-parallel over {n_dev} devices")
+
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    plan, taps, state, step = build_all(cfg, steps_per_epoch, mesh)
+    augment = make_pair_augment(cfg)
+
+    # resume
+    state_path = os.path.join(run_dir, "latest_train_state.npz")
+    total_iters = 0
+    best_val = float("inf")
+    if cfg.continue_train and os.path.exists(state_path):
+        state = load_state_leaves(state_path, state)
+        total_iters = int(state.step)
+        bv_path = os.path.join(run_dir, "best_val_loss.txt")
+        if os.path.exists(bv_path):
+            best_val = float(open(bv_path).read().strip())
+        print(f"Resumed at iter {total_iters} (best val {best_val})")
+
+    logger = ScalarLogger(run_dir, purge_step=total_iters or None)
+    rng_np = np.random.default_rng(cfg.seed + total_iters)
+    key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), total_iters)
+
+    n_epochs_total = cfg.n_epochs + cfg.n_epochs_decay
+    t_data, t_step = 0.0, 0.0
+    stop = False
+
+    for epoch in range(n_epochs_total):
+        order = rng_np.permutation(len(train_ds))
+        for start in range(0, steps_per_epoch * cfg.batch_size,
+                           cfg.batch_size):
+            t0 = time.time()
+            idxs = order[start: start + cfg.batch_size]
+            views_list, segs_list = [], []
+            for i in idxs:
+                img_a, img_b, seg = train_ds.get(int(i), rng_np)
+                key, sub = jax.random.split(key)
+                v, s = augment(
+                    sub, jnp.asarray(img_a), jnp.asarray(img_b),
+                    jnp.asarray(seg),
+                )
+                views_list.append(v)
+                segs_list.append(s)
+            views = jnp.stack(views_list)
+            segs = jnp.stack(segs_list).astype(jnp.int32)
+            t_data = 0.9 * t_data + 0.1 * (time.time() - t0)
+
+            t0 = time.time()
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, views, segs, sub)
+            total_iters += 1
+            t_step = 0.9 * t_step + 0.1 * (time.time() - t0)
+
+            if total_iters % cfg.print_freq == 0:
+                scalars = {f"loss/{k}": float(v) for k, v in metrics.items()
+                           if k.startswith("nce_") or k == "loss"}
+                scalars["metrics/grad_norm_G"] = float(
+                    metrics["grad_norm_G"])
+                scalars["metrics/grad_norm_F"] = float(
+                    metrics["grad_norm_F"])
+                logger.log(total_iters, scalars)
+                logger.log_text(
+                    f"(epoch: {epoch}, iters: {total_iters}, "
+                    f"data: {t_data:.3f}s, step: {t_step:.3f}s) "
+                    f"loss: {float(metrics['loss']):.4f}"
+                )
+
+            if total_iters % cfg.save_latest_freq == 0:
+                save_state_leaves(state_path, state)
+                save_pytree(
+                    os.path.join(run_dir, "latest_net_G.npz"),
+                    state.params_g,
+                )
+
+            if total_iters % cfg.evaluation_freq == 0:
+                save_pytree(
+                    os.path.join(run_dir, f"{total_iters}_net_G.npz"),
+                    state.params_g,
+                )
+                save_state_leaves(state_path, state)
+                if val_ds is not None:
+                    val_loss = compute_val_loss(
+                        plan, cfg, taps, state, val_ds, rng_np,
+                        cfg.n_val_during_train,
+                    )
+                    logger.log(total_iters, {"loss/val": val_loss})
+                    if val_loss < best_val:
+                        best_val = val_loss
+                        save_pytree(
+                            os.path.join(run_dir, "best_val_net_G.npz"),
+                            state.params_g,
+                        )
+                        with open(
+                            os.path.join(run_dir, "best_val_loss.txt"), "w"
+                        ) as f:
+                            f.write(str(best_val))
+
+            if cfg.max_iters and total_iters >= cfg.max_iters:
+                stop = True
+                break
+        if stop:
+            break
+
+    save_state_leaves(state_path, state)
+    save_pytree(os.path.join(run_dir, "latest_net_G.npz"), state.params_g)
+    logger.close()
+    train_ds.close()
+    if val_ds is not None:
+        val_ds.close()
+    return state
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="anatomix contrastive pretraining")
+    defaults = PretrainConfig()
+    for field in dataclasses.fields(PretrainConfig):
+        name = f"--{field.name}"
+        default = getattr(defaults, field.name)
+        if isinstance(default, bool):
+            p.add_argument(name, type=lambda s: s.lower() in
+                           ("1", "true", "yes"), default=default)
+        elif field.name == "nce_layers":
+            p.add_argument(name, type=str, default="27,31,38,45,52,65")
+        elif field.name == "nce_weights":
+            p.add_argument(name, type=str, default="1")
+        else:
+            p.add_argument(name, type=type(default) if default is not None
+                           else str, default=default)
+    return p
+
+
+def config_from_args(args) -> PretrainConfig:
+    kw = vars(args).copy()
+    kw["nce_layers"] = tuple(
+        int(i) for i in str(kw["nce_layers"]).split(",")
+    )
+    if str(kw["nce_weights"]) == "1":
+        kw["nce_weights"] = None
+    else:
+        w = [float(i) for i in str(kw["nce_weights"]).split(",")]
+        total = sum(w)
+        kw["nce_weights"] = tuple(i / total for i in w)
+    return PretrainConfig(**kw)
+
+
+if __name__ == "__main__":
+    train(config_from_args(build_parser().parse_args()))

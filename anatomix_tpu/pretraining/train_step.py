@@ -63,8 +63,12 @@ def make_optimizer(
     weight_decay: float = 1e-5,
     grad_clip: float | None = None,
     schedule=None,
+    mask=None,
+    grad_accum: int = 1,
 ):
-    """AdamW matching the reference's optimizer_G/optimizer_F settings."""
+    """AdamW matching the reference's optimizer_G/optimizer_F settings
+    (`supcl_model.py:508-517,583-591`), with optional global-norm clipping
+    and gradient accumulation (`supcl_model.py:618-657`)."""
     tx = optax.adamw(
         schedule if schedule is not None else lr,
         b1=beta1,
@@ -73,6 +77,10 @@ def make_optimizer(
     )
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if mask is not None:
+        tx = optax.masked(tx, mask)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
 
 
@@ -89,6 +97,8 @@ def init_train_state(
     beta2: float = 0.999,
     weight_decay: float = 1e-5,
     grad_clip: float | None = None,
+    grad_clip_f: float | None = None,
+    grad_accum: int = 1,
     init_type: str = "kaiming",
     init_gain: float = 0.02,
     schedule=None,
@@ -107,12 +117,17 @@ def init_train_state(
         init_type=init_type,
         init_gain=init_gain,
     )
-    tx = make_optimizer(
-        lr, beta1=beta1, beta2=beta2, weight_decay=weight_decay,
-        grad_clip=grad_clip, schedule=schedule,
+    common = dict(
+        beta1=beta1, beta2=beta2, weight_decay=weight_decay,
+        schedule=schedule, grad_accum=grad_accum,
     )
-    tx_g = optax.masked(tx, _trainable_mask(params_g))
-    tx_f = optax.masked(tx, _trainable_mask(params_f))
+    tx_g = make_optimizer(
+        lr, grad_clip=grad_clip, mask=_trainable_mask(params_g), **common
+    )
+    tx_f = make_optimizer(
+        lr, grad_clip=grad_clip_f if grad_clip_f is not None else grad_clip,
+        mask=_trainable_mask(params_f), **common
+    )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params_g=params_g,
@@ -249,6 +264,8 @@ def build_train_step(
     beta2: float = 0.999,
     weight_decay: float = 1e-5,
     grad_clip: float | None = None,
+    grad_clip_f: float | None = None,
+    grad_accum: int = 1,
     schedule=None,
     compute_dtype=None,
     mesh=None,
@@ -267,9 +284,9 @@ def build_train_step(
         balance_denominator=balance_denominator,
         weighting_mode=weighting_mode,
     )
-    tx = make_optimizer(
-        lr, beta1=beta1, beta2=beta2, weight_decay=weight_decay,
-        grad_clip=grad_clip, schedule=schedule,
+    opt_common = dict(
+        beta1=beta1, beta2=beta2, weight_decay=weight_decay,
+        schedule=schedule, grad_accum=grad_accum,
     )
 
     def step_fn(state: TrainState, views, segs, rng):
@@ -286,8 +303,15 @@ def build_train_step(
         )(state.params_g, state.params_f)
         grads_g, grads_f = grads
 
-        tx_g = optax.masked(tx, _trainable_mask(state.params_g))
-        tx_f = optax.masked(tx, _trainable_mask(state.params_f))
+        tx_g = make_optimizer(
+            lr, grad_clip=grad_clip,
+            mask=_trainable_mask(state.params_g), **opt_common,
+        )
+        tx_f = make_optimizer(
+            lr,
+            grad_clip=grad_clip_f if grad_clip_f is not None else grad_clip,
+            mask=_trainable_mask(state.params_f), **opt_common,
+        )
         updates_g, opt_state_g = tx_g.update(
             grads_g, state.opt_state_g, state.params_g
         )

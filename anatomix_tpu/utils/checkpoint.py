@@ -71,6 +71,33 @@ def load_pytree(path: str) -> Any:
     return _unflatten({k: z[k] for k in z.files})
 
 
+def save_state_leaves(path: str, state: Any) -> None:
+    """Save an arbitrary pytree (incl. optax NamedTuple states / flax
+    PyTreeNodes) as its ordered leaves; restore with `load_state_leaves`
+    against a structurally-identical template."""
+    leaves = jax.tree_util.tree_leaves(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(l) for i, l in
+                      enumerate(leaves)})
+
+
+def load_state_leaves(path: str, template: Any) -> Any:
+    z = np.load(path, allow_pickle=False)
+    leaves = [z[f"leaf_{i}"] for i in range(len(z.files))]
+    treedef = jax.tree_util.tree_structure(template)
+    t_leaves = jax.tree_util.tree_leaves(template)
+    if len(leaves) != len(t_leaves):
+        raise ValueError(
+            f"Checkpoint has {len(leaves)} leaves; template expects "
+            f"{len(t_leaves)} (architecture/optimizer mismatch)."
+        )
+    restored = [
+        np.asarray(l).reshape(np.shape(t)).astype(np.asarray(t).dtype)
+        if np.shape(l) != np.shape(t) else l
+        for l, t in zip(leaves, t_leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
 def save_json(path: str, obj: Any) -> None:
     with open(path, "w") as f:
         json.dump(obj, f, indent=2, default=str)
