@@ -98,9 +98,10 @@ def batch_norm_train(
 
 
 def channel_demean(x: jax.Array) -> jax.Array:
-    """Subtract per-voxel channel mean (the ViT 'demean' output norm,
-    `/root/reference/anatomix/model/vit3d/architectures.py` ChannelDemean)."""
-    return x - jnp.mean(x, axis=-1, keepdims=True)
+    """Subtract each channel's *spatial* mean (the ViT 'demean' output norm,
+    `/root/reference/anatomix/model/vit3d/architectures.py:28-33`: NDHWC
+    equivalent of `x - x.mean(dim=(2,3,4))`)."""
+    return x - jnp.mean(x, axis=(1, 2, 3), keepdims=True)
 
 
 def channel_layer_norm(x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
