@@ -61,6 +61,48 @@ def fold_batchnorm(plan: UnetPlan, params: dict[str, Any]):
     return folded_plan, new_params
 
 
+def layer_spatials(plan: UnetPlan, input_spatial):
+    """Input spatial dims seen by each layer index (pools halve, upsamples
+    double; concat/convs preserve)."""
+    spatials = {}
+    cur = tuple(input_spatial)
+    for idx, spec in enumerate(plan.layers):
+        spatials[idx] = cur
+        if spec.kind == "pool":
+            cur = tuple(s // 2 for s in cur)
+        elif spec.kind == "upsample":
+            cur = tuple(s * 2 for s in cur)
+    return spatials
+
+
+def prepack_pallas(
+    plan: UnetPlan,
+    params: dict[str, Any],
+    input_spatial=(128, 128, 128),
+    compute_dtype=None,
+):
+    """Attach Pallas-packed weights to every conv layer the per-layer
+    policy routes through the fused kernel (host-side, run once)."""
+    from anatomix_tpu.ops.pallas.conv3x3 import choose_impl, prepack_conv
+
+    spatials = layer_spatials(plan, input_spatial)
+    new_params = {k: dict(v) for k, v in params.items()}
+    for idx, spec in enumerate(plan.layers):
+        if spec.kind != "conv":
+            continue
+        spatial = spatials[idx]
+        if choose_impl(spec.in_ch, spec.out_ch, spatial) == "xla":
+            continue
+        p = new_params[str(idx)]
+        p["pallas"] = prepack_conv(
+            np.asarray(p["w"]),
+            np.asarray(p["b"]) if "b" in p else None,
+            spatial=spatial,
+            compute_dtype=compute_dtype or jnp.bfloat16,
+        )
+    return new_params
+
+
 def minmax(arr: np.ndarray, minclip=None, maxclip=None) -> np.ndarray:
     """[0, 1] min-max normalization with optional clipping
     (`convex_adam_utils.py:134-156`)."""
@@ -98,6 +140,7 @@ def make_feature_extractor(
     compute_dtype=None,
     fold_bn: bool = True,
     mesh=None,
+    conv_impl: str = "xla",
 ):
     """Build a jitted `volume (1,D,H,W,C) -> features (1,D,H,W,out)` fn.
 
@@ -120,11 +163,18 @@ def make_feature_extractor(
     if fold_bn:
         plan, params = fold_batchnorm(plan, params)
     params = jax.tree_util.tree_map(jnp.asarray, params)
+    if conv_impl == "pallas":
+        # after tree_map: the packed metadata must stay python-static
+        params = prepack_pallas(
+            plan, params, input_spatial=roi_size,
+            compute_dtype=compute_dtype or jnp.bfloat16,
+        )
     out_channels = plan.config.output_nc
 
     def window_fn(windows):
         return unet_apply(
-            plan, params, windows, compute_dtype=compute_dtype
+            plan, params, windows, compute_dtype=compute_dtype,
+            conv_impl=conv_impl,
         )
 
     if strategy == "full":

@@ -267,6 +267,7 @@ def unet_apply(
     train: bool = False,
     compute_dtype=None,
     bn_axis_name: str | None = None,
+    conv_impl: str = "xla",
 ):
     """Run the UNet on NDHWC input `x`.
 
@@ -280,6 +281,10 @@ def unet_apply(
     `train=True` makes batch norm use current-batch statistics and also
     returns `new_stats`, a dict of `{layer_idx: (mean, var)}` running-stat
     updates (momentum 0.1, torch-style unbiased update).
+
+    `conv_impl='pallas'` routes eligible convs through the fused Pallas
+    TPU kernel (inference paths with constant weights only; per-layer
+    policy in `ops/pallas/conv3x3.choose_impl`).
     """
     cfg = plan.config
     act = get_activation(cfg.activation)
@@ -296,14 +301,44 @@ def unet_apply(
     for idx, spec in enumerate(plan.layers):
         p = params.get(str(idx))
         if spec.kind == "conv":
-            feat = conv3d(
-                feat,
-                p["w"],
-                p.get("b"),
-                padding="SAME",
-                pad_type=cfg.pad_type,
-                compute_dtype=compute_dtype,
-            )
+            use_pallas = False
+            if conv_impl == "pallas":
+                from anatomix_tpu.ops.pallas.conv3x3 import choose_impl
+
+                use_pallas = (
+                    choose_impl(spec.in_ch, spec.out_ch, feat.shape[1:4])
+                    != "xla"
+                )
+            if use_pallas:
+                from anatomix_tpu.ops.pallas.conv3x3 import (
+                    conv3x3_packed,
+                    conv3x3_same,
+                )
+
+                if "pallas" in p:  # prepacked (see extract.prepack_pallas)
+                    feat = conv3x3_packed(
+                        feat,
+                        p["pallas"],
+                        pad_type=cfg.pad_type,
+                        compute_dtype=compute_dtype or jnp.bfloat16,
+                    )
+                else:  # eager path: weights must be concrete
+                    feat = conv3x3_same(
+                        feat,
+                        p["w"],
+                        p.get("b"),
+                        pad_type=cfg.pad_type,
+                        compute_dtype=compute_dtype or jnp.bfloat16,
+                    )
+            else:
+                feat = conv3d(
+                    feat,
+                    p["w"],
+                    p.get("b"),
+                    padding="SAME",
+                    pad_type=cfg.pad_type,
+                    compute_dtype=compute_dtype,
+                )
         elif spec.kind == "norm":
             if cfg.norm == "batch":
                 if train:
