@@ -268,6 +268,7 @@ def unet_apply(
     compute_dtype=None,
     bn_axis_name: str | None = None,
     conv_impl: str = "xla",
+    spatial_axis_name: str | None = None,
 ):
     """Run the UNet on NDHWC input `x`.
 
@@ -330,6 +331,27 @@ def unet_apply(
                         pad_type=cfg.pad_type,
                         compute_dtype=compute_dtype or jnp.bfloat16,
                     )
+            elif spatial_axis_name is not None:
+                # sharded D axis: halo-exchange pad, local H/W pad, VALID
+                from anatomix_tpu.parallel.spatial import halo_pad_d
+
+                padded = halo_pad_d(
+                    feat, spatial_axis_name, cfg.pad_type
+                )
+                mode = {"reflect": "reflect", "replicate": "edge",
+                        "zeros": "constant"}[cfg.pad_type]
+                padded = jnp.pad(
+                    padded,
+                    ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)),
+                    mode=mode,
+                )
+                feat = conv3d(
+                    padded,
+                    p["w"],
+                    p.get("b"),
+                    padding="VALID",
+                    compute_dtype=compute_dtype,
+                )
             else:
                 feat = conv3d(
                     feat,
@@ -362,10 +384,13 @@ def unet_apply(
                         eps=cfg.norm_eps,
                     )
             elif cfg.norm == "instance":
-                feat = instance_norm(feat, eps=cfg.norm_eps)
+                feat = instance_norm(
+                    feat, eps=cfg.norm_eps, axis_name=spatial_axis_name
+                )
             elif cfg.norm == "instance_affine":
                 feat = instance_norm(
-                    feat, eps=cfg.norm_eps, scale=p["scale"], bias=p["bias"]
+                    feat, eps=cfg.norm_eps, scale=p["scale"],
+                    bias=p["bias"], axis_name=spatial_axis_name,
                 )
         elif spec.kind == "act":
             feat = act(feat)

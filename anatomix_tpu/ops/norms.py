@@ -25,15 +25,22 @@ def instance_norm(
     eps: float = 1e-5,
     scale: jax.Array | None = None,
     bias: jax.Array | None = None,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """InstanceNorm over spatial dims of an NDHWC array.
 
     torch InstanceNorm3d(track_running_stats=False) uses biased variance and
-    identical behavior in train and eval.
+    identical behavior in train and eval. With `axis_name`, statistics are
+    all-reduced over that mesh axis (spatially sharded volumes; shards must
+    be equal-sized).
     """
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32)

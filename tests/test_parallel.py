@@ -1,0 +1,84 @@
+"""Spatial sharding + mesh tests on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from anatomix_tpu.models.unet import (
+    UnetConfig,
+    build_plan,
+    init_params,
+    unet_apply,
+)
+from anatomix_tpu.parallel import (
+    data_mesh,
+    space_mesh,
+    spatial_sharded_unet,
+)
+from anatomix_tpu.parallel.spatial import receptive_field
+
+
+def test_meshes():
+    m = data_mesh(n=4)
+    assert m.shape == {"data": 4}
+    m2 = space_mesh(data=2, space=4)
+    assert m2.shape == {"data": 2, "space": 4}
+
+
+@pytest.mark.parametrize("norm", ["batch", "instance"])
+def test_spatial_sharded_unet_matches_unsharded(rng, norm):
+    """Halo-exchanged spatially-sharded forward == unsharded forward."""
+    cfg = UnetConfig(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4, norm=norm,
+    )
+    plan = build_plan(cfg)
+    params = init_params(plan, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    # randomize BN running stats so eval mode is non-trivial
+    if norm == "batch":
+        for sub in params.values():
+            if "mean" in sub:
+                r = np.random.default_rng(0)
+                sub["mean"] = jnp.asarray(
+                    r.standard_normal(sub["mean"].shape[0]).astype(
+                        np.float32) * 0.1)
+                sub["var"] = jnp.asarray(
+                    (r.random(sub["var"].shape[0]) + 0.5).astype(np.float32))
+
+    mesh = space_mesh(data=1, space=4)
+    # D = 32: 4 shards × 8, divisible by 2^2
+    vol = jnp.asarray(
+        rng.standard_normal((1, 32, 16, 16, 1)).astype(np.float32)
+    )
+    ref = np.asarray(unet_apply(plan, params, vol))
+    # drop the unused 'data' axis view: build a 1-axis space mesh
+    from jax.sharding import Mesh
+
+    smesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    run = spatial_sharded_unet(plan, params, smesh)
+    got = np.asarray(run(vol))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_spatial_sharded_rejects_bad_divisibility():
+    cfg = UnetConfig(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+    )
+    plan = build_plan(cfg)
+    params = init_params(plan, jax.random.PRNGKey(0))
+    from jax.sharding import Mesh
+
+    smesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    run = spatial_sharded_unet(plan, params, smesh)
+    with pytest.raises(ValueError, match="divisible"):
+        run(jnp.zeros((1, 20, 16, 16, 1)))
+
+
+def test_receptive_field():
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=4,
+                   ngf=16)
+    )
+    rf = receptive_field(plan)
+    assert rf > 100  # the 6M UNet sees far: tiling with small halos is lossy
