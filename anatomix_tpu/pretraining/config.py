@@ -93,6 +93,8 @@ class PretrainConfig:
     n_val_during_train: int = 50
     max_iters: int = 0  # 0 = unlimited (smoke-test hook)
     continue_train: bool = False
+    pretrained_name: str = "None"  # warm-start G+F from another run dir
+    pretrained_G_only_ckpt: str = "None"  # warm-start G only, F fresh
 
     # parallelism
     data_parallel_devices: int = 0  # 0 = all local devices

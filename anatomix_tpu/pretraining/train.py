@@ -156,17 +156,42 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
     plan, taps, state, step = build_all(cfg, steps_per_epoch, mesh)
     augment = make_pair_augment(cfg)
 
-    # resume
+    # resume / warm start (precedence: continue_train > pretrained_name >
+    # pretrained_G_only_ckpt; `base_model.py:119-143`)
+    from anatomix_tpu.pretraining.warmstart import (
+        load_partial,
+        resolve_warm_start,
+    )
+    from anatomix_tpu.utils.checkpoint import load_pytree
+
     state_path = os.path.join(run_dir, "latest_train_state.npz")
     total_iters = 0
     best_val = float("inf")
-    if cfg.continue_train and os.path.exists(state_path):
-        state = load_state_leaves(state_path, state)
+    g_ckpt, f_ckpt, resume_path = resolve_warm_start(
+        run_dir,
+        continue_train=cfg.continue_train,
+        pretrained_name=cfg.pretrained_name,
+        pretrained_g_only_ckpt=cfg.pretrained_G_only_ckpt,
+        ckpt_root=cfg.ckpt_dir,
+    )
+    if resume_path:
+        state = load_state_leaves(resume_path, state)
         total_iters = int(state.step)
         bv_path = os.path.join(run_dir, "best_val_loss.txt")
         if os.path.exists(bv_path):
             best_val = float(open(bv_path).read().strip())
         print(f"Resumed at iter {total_iters} (best val {best_val})")
+    else:
+        if g_ckpt and os.path.exists(g_ckpt):
+            print(f"Warm-starting G from {g_ckpt}")
+            state = state.replace(
+                params_g=load_partial(
+                    plan, state.params_g, load_pytree(g_ckpt)
+                )
+            )
+        if f_ckpt and os.path.exists(f_ckpt):
+            print(f"Warm-starting F from {f_ckpt}")
+            state = state.replace(params_f=load_pytree(f_ckpt))
 
     logger = ScalarLogger(run_dir, purge_step=total_iters or None)
     rng_np = np.random.default_rng(cfg.seed + total_iters)
@@ -222,6 +247,10 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                     os.path.join(run_dir, "latest_net_G.npz"),
                     state.params_g,
                 )
+                save_pytree(
+                    os.path.join(run_dir, "latest_net_F.npz"),
+                    state.params_f,
+                )
 
             if total_iters % cfg.evaluation_freq == 0:
                 save_pytree(
@@ -254,6 +283,7 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
 
     save_state_leaves(state_path, state)
     save_pytree(os.path.join(run_dir, "latest_net_G.npz"), state.params_g)
+    save_pytree(os.path.join(run_dir, "latest_net_F.npz"), state.params_f)
     logger.close()
     train_ds.close()
     if val_ds is not None:
