@@ -269,6 +269,7 @@ def unet_apply(
     bn_axis_name: str | None = None,
     conv_impl: str = "xla",
     spatial_axis_name: str | None = None,
+    eval_norm_layers: Sequence[int] = (),
 ):
     """Run the UNet on NDHWC input `x`.
 
@@ -363,7 +364,7 @@ def unet_apply(
                 )
         elif spec.kind == "norm":
             if cfg.norm == "batch":
-                if train:
+                if train and idx not in eval_norm_layers:
                     feat, m, v = batch_norm_train(
                         feat,
                         p["mean"],

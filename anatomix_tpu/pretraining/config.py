@@ -95,6 +95,7 @@ class PretrainConfig:
     continue_train: bool = False
     pretrained_name: str = "None"  # warm-start G+F from another run dir
     pretrained_G_only_ckpt: str = "None"  # warm-start G only, F fresh
+    unfreeze_layers: str = ""  # comma list; others up to last tap frozen
 
     # parallelism
     data_parallel_devices: int = 0  # 0 = all local devices

@@ -54,16 +54,39 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
             )
         )
         taps = cfg.tap_layers()
-    else:
-        raise NotImplementedError(
-            "primus pretraining lands with the ViT backbone"
+    elif cfg.netG == "primus":
+        from anatomix_tpu.models.vit3d import PrimusConfig
+
+        plan = PrimusConfig(
+            input_channels=cfg.input_nc,
+            num_classes=cfg.output_nc,
+            input_shape=(cfg.crop_size,) * 3,
+            out_norm="demean",
+            qk_norm=True,
+            scale_attn_inner=True,
+            init_values=0.1,
+            in_eps=cfg.norm_eps_G,
         )
+        taps = (-1,)  # ViT exposes a single feature scale
+    else:
+        raise NotImplementedError(f"netG {cfg.netG!r}")
 
     schedule = make_schedule(
         cfg.lr, cfg.lr_policy,
         n_epochs=cfg.n_epochs, n_epochs_decay=cfg.n_epochs_decay,
         steps_per_epoch=steps_per_epoch,
     )
+    frozen = ()
+    if cfg.unfreeze_layers and cfg.netG == "unet":
+        from anatomix_tpu.pretraining.train_step import frozen_layer_ids
+
+        frozen = frozen_layer_ids(
+            plan,
+            [int(i) for i in cfg.unfreeze_layers.split(",")],
+            taps,
+        )
+        print(f"Freezing {len(frozen)} layers (unfreeze="
+              f"{cfg.unfreeze_layers})")
     common = dict(
         tap_layers=taps,
         num_patches=cfg.num_patches,
@@ -75,6 +98,7 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
         grad_clip_f=cfg.max_norm_F if cfg.clip_grad else None,
         grad_accum=cfg.grad_accum_iters,
         schedule=schedule,
+        frozen_layers=frozen,
     )
     state = init_train_state(
         plan,
@@ -184,10 +208,13 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
     else:
         if g_ckpt and os.path.exists(g_ckpt):
             print(f"Warm-starting G from {g_ckpt}")
+            from anatomix_tpu.models.unet import UnetPlan
+
+            loaded_g = load_pytree(g_ckpt)
             state = state.replace(
-                params_g=load_partial(
-                    plan, state.params_g, load_pytree(g_ckpt)
-                )
+                params_g=load_partial(plan, state.params_g, loaded_g)
+                if isinstance(plan, UnetPlan)
+                else loaded_g
             )
         if f_ckpt and os.path.exists(f_ckpt):
             print(f"Warm-starting F from {f_ckpt}")

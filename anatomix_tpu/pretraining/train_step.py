@@ -26,6 +26,40 @@ import optax
 from flax import struct
 
 from anatomix_tpu.models.unet import UnetPlan, init_params, unet_apply
+
+
+def _backbone_forward(plan, params_g, x, tap_layers, train, compute_dtype,
+                      bn_axis_name, eval_norm_layers=()):
+    """Dispatch UNet vs Primus backbones.
+
+    Primus forces a single tap on the final feature map (logged as layer -1,
+    `supcl_model.py:404-410`)."""
+    if isinstance(plan, UnetPlan):
+        if train:
+            _, taps, new_stats = unet_apply(
+                plan, params_g, x, layers=tap_layers, train=True,
+                compute_dtype=compute_dtype, bn_axis_name=bn_axis_name,
+                eval_norm_layers=eval_norm_layers,
+            )
+            return taps, new_stats
+        _, taps = unet_apply(
+            plan, params_g, x, layers=tap_layers,
+            compute_dtype=compute_dtype,
+        )
+        return taps, {}
+    # PrimusConfig: single-scale NCE on the decoded volume
+    from anatomix_tpu.models.vit3d import primus_apply
+
+    _, taps = primus_apply(
+        plan, params_g, x, layers=[-1], compute_dtype=compute_dtype,
+    )
+    return taps, {}
+
+
+def backbone_tap_channels(plan, tap_layers):
+    if isinstance(plan, UnetPlan):
+        return plan.tap_channels(tuple(tap_layers))
+    return (plan.num_classes,)
 from anatomix_tpu.pretraining.losses import sup_patch_nce_loss
 from anatomix_tpu.pretraining.patch_sample import (
     apply_patch_mlp,
@@ -44,15 +78,36 @@ class TrainState(struct.PyTreeNode):
     opt_state_f: Any
 
 
-def _trainable_mask(params):
+def _trainable_mask(params, frozen_layers=()):
     """False for batch-norm running stats (they are not optimizer targets;
-    AdamW weight decay must not touch them)."""
+    AdamW weight decay must not touch them) and for frozen layer indices
+    (the reference's `unfreeze_layers` mechanism, `supcl_model.py:
+    421-427,880-896`)."""
+    frozen = {str(i) for i in frozen_layers}
 
     def mask_leaf(path, leaf):
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        return not any(k in ("mean", "var") for k in keys)
+        if any(k in ("mean", "var") for k in keys):
+            return False
+        if frozen and keys and str(keys[0]) in frozen:
+            return False
+        return True
 
     return jax.tree_util.tree_map_with_path(mask_leaf, params)
+
+
+def frozen_layer_ids(plan, unfreeze_layers, tap_layers):
+    """Layer ids frozen when `unfreeze_layers` is set: every parameterized
+    layer up to the last tap except those listed."""
+    if not unfreeze_layers:
+        return ()
+    keep = {int(i) for i in unfreeze_layers}
+    last = max(tap_layers)
+    return tuple(
+        i
+        for i, s in enumerate(plan.layers)
+        if s.kind in ("conv", "norm") and i <= last and i not in keep
+    )
 
 
 def make_optimizer(
@@ -103,15 +158,21 @@ def init_train_state(
     init_gain: float = 0.02,
     schedule=None,
     params_g: Any = None,
+    frozen_layers: Sequence[int] = (),
 ) -> TrainState:
     kg, kf = jax.random.split(key)
     if params_g is None:
-        params_g = init_params(
-            plan, kg, init_type=init_type, init_gain=init_gain
-        )
+        if isinstance(plan, UnetPlan):
+            params_g = init_params(
+                plan, kg, init_type=init_type, init_gain=init_gain
+            )
+        else:
+            from anatomix_tpu.models.vit3d import init_primus_params
+
+            params_g = init_primus_params(plan, kg)
     params_f = init_patch_mlps(
         kf,
-        plan.tap_channels(tuple(tap_layers)),
+        backbone_tap_channels(plan, tap_layers),
         nc=netf_nc,
         n_mlps=n_mlps,
         init_type=init_type,
@@ -122,7 +183,8 @@ def init_train_state(
         schedule=schedule, grad_accum=grad_accum,
     )
     tx_g = make_optimizer(
-        lr, grad_clip=grad_clip, mask=_trainable_mask(params_g), **common
+        lr, grad_clip=grad_clip,
+        mask=_trainable_mask(params_g, frozen_layers), **common,
     )
     tx_f = make_optimizer(
         lr, grad_clip=grad_clip_f if grad_clip_f is not None else grad_clip,
@@ -161,6 +223,7 @@ def nce_forward(
     train: bool = True,
     compute_dtype=None,
     bn_axis_name: str | None = None,
+    eval_norm_layers: Sequence[int] = (),
 ):
     """Compute the multi-tap SupPatchNCE loss.
 
@@ -171,17 +234,10 @@ def nce_forward(
     B = views.shape[0]
     x = jnp.concatenate([views[:, 0], views[:, 1]], axis=0)  # (2B, ...)
 
-    if train:
-        _, taps, new_g_stats = unet_apply(
-            plan, params_g, x, layers=tap_layers, train=True,
-            compute_dtype=compute_dtype, bn_axis_name=bn_axis_name,
-        )
-    else:
-        _, taps = unet_apply(
-            plan, params_g, x, layers=tap_layers,
-            compute_dtype=compute_dtype,
-        )
-        new_g_stats = {}
+    taps, new_g_stats = _backbone_forward(
+        plan, params_g, x, tap_layers, train, compute_dtype, bn_axis_name,
+        eval_norm_layers=eval_norm_layers,
+    )
 
     if nce_weights is None:
         nce_weights = [1.0 / len(tap_layers)] * len(tap_layers)
@@ -270,6 +326,7 @@ def build_train_step(
     compute_dtype=None,
     mesh=None,
     donate: bool = True,
+    frozen_layers: Sequence[int] = (),
 ):
     """Build the jitted train step `(state, views, segs, rng) -> (state,
     metrics)`.
@@ -291,11 +348,17 @@ def build_train_step(
 
     def step_fn(state: TrainState, views, segs, rng):
         def loss_fn(params_g, params_f):
+            eval_norms = tuple(
+                i for i in frozen_layers
+                if isinstance(plan, UnetPlan)
+                and plan.layers[i].kind == "norm"
+            )
             return nce_forward(
                 plan, params_g, params_f, views, segs, rng,
                 tap_layers=tap_layers, num_patches=num_patches, nce=nce,
                 nce_weights=nce_weights, train=True,
                 compute_dtype=compute_dtype,
+                eval_norm_layers=eval_norms,
             )
 
         (loss, aux), grads = jax.value_and_grad(
@@ -305,7 +368,8 @@ def build_train_step(
 
         tx_g = make_optimizer(
             lr, grad_clip=grad_clip,
-            mask=_trainable_mask(state.params_g), **opt_common,
+            mask=_trainable_mask(state.params_g, frozen_layers),
+            **opt_common,
         )
         tx_f = make_optimizer(
             lr,
