@@ -133,7 +133,14 @@ def make_optimizer(
     if grad_clip is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if mask is not None:
-        tx = optax.masked(tx, mask)
+        # NOTE: optax.masked passes masked-OUT leaves' gradients through as
+        # raw updates; frozen/stat leaves must be hard-zeroed instead.
+        labels = jax.tree_util.tree_map(
+            lambda m: "train" if m else "freeze", mask
+        )
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     return tx
