@@ -169,9 +169,31 @@ def make_feature_extractor(
             plan, params, input_spatial=roi_size,
             compute_dtype=compute_dtype or jnp.bfloat16,
         )
+    elif conv_impl == "pallas_fused":
+        from anatomix_tpu.models.unet_fused import (
+            prepack_fused,
+            supports_fusion,
+        )
+
+        if not supports_fusion(plan.config):
+            raise ValueError(
+                "pallas_fused requires batch/none norm, nearest interp, "
+                "Max/Avg pool, reflect/zeros padding"
+            )
+        params = prepack_fused(
+            plan, params, input_spatial=roi_size,
+            compute_dtype=compute_dtype or jnp.bfloat16,
+        )
     out_channels = plan.config.output_nc
 
     def window_fn(windows):
+        if conv_impl == "pallas_fused":
+            from anatomix_tpu.models.unet_fused import unet_apply_fused
+
+            return unet_apply_fused(
+                plan, params, windows,
+                compute_dtype=compute_dtype or jnp.bfloat16,
+            )
         return unet_apply(
             plan, params, windows, compute_dtype=compute_dtype,
             conv_impl=conv_impl,

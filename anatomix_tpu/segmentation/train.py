@@ -157,6 +157,22 @@ def main(opt):
         print(f"epoch {epoch + 1} average loss: {epoch_loss:.4f}")
 
         if (epoch + 1) % opt.val_interval == 0:
+            # mid-slice panels (the reference's plot_2d_or_3d_image role)
+            from anatomix_tpu.utils.visualization import log_panels
+
+            preds = jnp.argmax(
+                seg_forward(plan, params, batch_img), axis=-1
+            ).astype(jnp.float32)
+            log_panels(
+                logger, "train/panels",
+                {
+                    "image": np.asarray(batch_img[0, ..., 0]),
+                    "label": np.asarray(batch_lab[0])
+                    / (opt.n_classes + 1.0),
+                    "output": np.asarray(preds[0]) / (opt.n_classes + 1.0),
+                },
+                epoch + 1,
+            )
             val_loss = validate(
                 plan, params, vaimages, vasegs, cache, opt.crop_size,
                 opt.n_classes,
