@@ -114,6 +114,80 @@ def grid_sample(
     return out.astype(vol.dtype).reshape(N, *out_spatial, C)
 
 
+def make_packed_sampler(vol: jax.Array, *, align_corners: bool = False):
+    """Build a fast repeated-warp sampler for one volume.
+
+    TPU gathers cost per ROW (~40M rows/s measured), not per byte; the
+    8-corner trilinear gather is therefore 8× slower than necessary. This
+    packs the 2×2×2 neighborhood into channels once (one zero-padded shifted
+    concat), so each subsequent `sample(grid)` does ONE row-gather of
+    (N, 8·C) and combines corners with elementwise weights — identical
+    results to `grid_sample(vol, grid)` (bilinear, zeros padding), ~5×
+    faster per call. Use when the same volume is sampled many times (the
+    Adam instance-optimization loop: 80 warps of the same features,
+    `instance_optimization.py:329-384`).
+    """
+    N_, D, H, W, C = vol.shape
+    if N_ != 1:
+        raise ValueError("packed sampler supports batch 1")
+    volp = jnp.pad(
+        vol[0], ((1, 1), (1, 1), (1, 1), (0, 0))
+    )  # zero border serves out-of-range corner taps
+    nb = jnp.concatenate(
+        [
+            jax.lax.slice(
+                volp, (dz, dy, dx, 0),
+                (dz + D + 1, dy + H + 1, dx + W + 1, C),
+            )
+            for dz in (0, 1)
+            for dy in (0, 1)
+            for dx in (0, 1)
+        ],
+        axis=-1,
+    )  # (D+1, H+1, W+1, 8C); row at (z0+1, y0+1, x0+1) holds all corners
+    nb_flat = nb.reshape(-1, 8 * C)
+    Hp, Wp = H + 1, W + 1
+
+    def sample(grid: jax.Array) -> jax.Array:
+        out_spatial = grid.shape[1:4]
+        g = grid.reshape(-1, 3).astype(jnp.float32)
+        x = _unnormalize(g[:, 0], W, align_corners)
+        y = _unnormalize(g[:, 1], H, align_corners)
+        z = _unnormalize(g[:, 2], D, align_corners)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        z0 = jnp.floor(z)
+        fx = x - x0
+        fy = y - y0
+        fz = z - z0
+        # base corners in [-1, D-1] read true values / the zero border;
+        # anything further out is masked to zero (grid_sample zeros pad)
+        valid = (
+            (x0 >= -1) & (x0 <= W - 1)
+            & (y0 >= -1) & (y0 <= H - 1)
+            & (z0 >= -1) & (z0 <= D - 1)
+        )
+        xi = jnp.clip(x0, -1, W - 1).astype(jnp.int32) + 1
+        yi = jnp.clip(y0, -1, H - 1).astype(jnp.int32) + 1
+        zi = jnp.clip(z0, -1, D - 1).astype(jnp.int32) + 1
+        rows = jnp.take(
+            nb_flat, (zi * Hp + yi) * Wp + xi, axis=0
+        )  # (N, 8C)
+        taps = rows.reshape(-1, 8, C).astype(jnp.float32)
+        wz = jnp.stack([1.0 - fz, fz], -1)  # (N, 2)
+        wy = jnp.stack([1.0 - fy, fy], -1)
+        wx = jnp.stack([1.0 - fx, fx], -1)
+        w8 = (
+            wz[:, :, None, None] * wy[:, None, :, None]
+            * wx[:, None, None, :]
+        ).reshape(-1, 8)
+        out = jnp.einsum("nk,nkc->nc", w8, taps)
+        out = out * valid[:, None].astype(jnp.float32)
+        return out.reshape(1, *out_spatial, C).astype(vol.dtype)
+
+    return sample
+
+
 def identity_grid(
     spatial: tuple[int, int, int], *, align_corners: bool = False
 ) -> jax.Array:

@@ -61,6 +61,9 @@ def correlate(
         ((disp_hw,) * 2, (disp_hw,) * 2, (disp_hw,) * 2, (0, 0)),
     )
 
+    # TPU layout note: keep the K³ displacement axis LAST (lanes) during the
+    # elementwise/box-filter pipeline — a leading K³ axis leaves a size-1
+    # lane dimension and runs ~30× slower.
     slices = []
     for sd in range(K):
         for sw in range(K):
@@ -70,11 +73,12 @@ def correlate(
                 )
                 ssd_raw = jnp.sum((fix - mov_s) ** 2, axis=-1)  # (H',W',D')
                 slices.append(ssd_raw)
-    ssd = jnp.stack(slices, axis=0)  # (K³, H', W', D')
+    ssd_cl = jnp.stack(slices, axis=-1)  # (H', W', D', K³)
 
-    # double 3³ zero-padded box smoothing, batched over the K³ axis
-    ssd = box_filter(ssd[..., None], kernel_size=3, num_repeats=2)[..., 0]
-    return ssd, jnp.argmin(ssd, axis=0)
+    # double 3³ zero-padded box smoothing, channel-last over K³
+    ssd_cl = box_filter(ssd_cl[None], kernel_size=3, num_repeats=2)[0]
+    ssd = jnp.moveaxis(ssd_cl, -1, 0)  # (K³, H', W', D') public layout
+    return ssd, jnp.argmin(ssd_cl, axis=-1)
 
 
 def coupled_convex(
@@ -97,15 +101,16 @@ def coupled_convex(
         return avg_pool3d(disp[None], 3, stride=1, padding=1)  # (1,...,3)
 
     disp_soft = soft_from_argmin(ssd_argmin)
-    ssd_acc = ssd
+    # channel-last K³ for TPU-friendly elementwise/argmin (see correlate)
+    ssd_acc = jnp.moveaxis(ssd, 0, -1)  # (H', W', D', K³)
 
     for coeff in coeffs:
-        # penalty (K³, H', W', D') = ||mesh_f - disp_soft(x)||²
+        # penalty (H', W', D', K³) = ||mesh_f - disp_soft(x)||²
         delta = (
-            disp_mesh[:, None, None, None, :]
-            - disp_soft[0][None, ...]
+            disp_mesh[None, None, None, :, :]
+            - disp_soft[0][..., None, :]
         )
         ssd_acc = ssd_acc + coeff * jnp.sum(delta ** 2, axis=-1)
-        disp_soft = soft_from_argmin(jnp.argmin(ssd_acc, axis=0))
+        disp_soft = soft_from_argmin(jnp.argmin(ssd_acc, axis=-1))
 
     return disp_soft

@@ -59,6 +59,10 @@ def _shifted(img_pad: jax.Array, offset, dilation: int, spatial):
     )
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
 def mindssc(
     img: jax.Array, radius: int = 2, dilation: int = 2
 ) -> jax.Array:

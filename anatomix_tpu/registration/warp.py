@@ -13,7 +13,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from anatomix_tpu.ops.grid_sample import grid_sample, identity_grid
+from anatomix_tpu.ops.grid_sample import (
+    grid_sample,
+    identity_grid,
+    make_packed_sampler,
+)
 from anatomix_tpu.ops.pool import box_filter
 
 
@@ -45,10 +49,9 @@ def inverse_consistency(
 
     def body(_, carry):
         d1, d2 = carry
-        s2 = grid_sample(d2, ident + d1, mode="bilinear",
-                         align_corners=False)
-        s1 = grid_sample(d1, ident + d2, mode="bilinear",
-                         align_corners=False)
+        # packed single-row-gather sampling (see make_packed_sampler)
+        s2 = make_packed_sampler(d2, align_corners=False)(ident + d1)
+        s1 = make_packed_sampler(d1, align_corners=False)(ident + d2)
         return 0.5 * (d1 - s2), 0.5 * (d2 - s1)
 
     d1, d2 = jax.lax.fori_loop(0, iterations, body, (disp1, disp2))

@@ -65,6 +65,23 @@ def main():
 
     t_patch = amortized_time(fwd, x128, n=8, reps=3)
 
+    # --- registration pair latency (post-feature solver, the reference's
+    # 'case time' bracket) on a 192³ pair, reference defaults ------------------
+    import numpy as np
+    import time as _time
+
+    from anatomix_tpu.registration.pipeline import register_pair
+
+    rng = np.random.default_rng(3)
+    size = 192
+    fixed = rng.random((size,) * 3).astype(np.float32) * 500
+    moving = rng.random((size,) * 3).astype(np.float32) * 500
+    _, t_reg = register_pair(
+        fixed, moving, plan, params,
+        grid_sp=2, disp_hw=1, selected_niter=80, grid_sp_adam=2, ic=True,
+        extract_strategy="full", compute_dtype=compute_dtype,
+    )
+
     result = {
         "metric": "feature_extraction_256ct_seconds_per_chip",
         "value": round(t_full, 4),
@@ -73,6 +90,7 @@ def main():
         "extra": {
             "sliding_window_mode_seconds": round(t_sw, 3),
             "patches_128_per_sec_per_chip": round(1.0 / t_patch, 2),
+            "registration_solver_seconds_192": round(t_reg, 2),
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },

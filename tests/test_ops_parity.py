@@ -225,3 +225,14 @@ def test_identity_grid(align_corners):
     ).numpy()
     got = np.asarray(identity_grid((5, 6, 7), align_corners=align_corners))
     np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+@requires_torch
+def test_packed_sampler_matches_grid_sample(rng):
+    from anatomix_tpu.ops.grid_sample import grid_sample, make_packed_sampler
+
+    vol = rng.standard_normal((1, 6, 7, 8, 5)).astype(np.float32)
+    grid = (rng.random((1, 4, 5, 6, 3), dtype=np.float32) * 2.6) - 1.3
+    ref = np.asarray(grid_sample(vol, grid, mode="bilinear"))
+    got = np.asarray(make_packed_sampler(vol)(grid))
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
