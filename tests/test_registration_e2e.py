@@ -79,6 +79,8 @@ def test_nifti_roundtrip(tmp_path, rng):
 
 def test_nifti_matches_nibabel_if_available(tmp_path, rng):
     nib = pytest.importorskip("nibabel")
+    if getattr(nib, "load", None) is None:
+        pytest.skip("nibabel stubbed by the parity fixture")
     data = rng.standard_normal((5, 6, 7)).astype(np.float32)
     affine = np.eye(4)
     p = str(tmp_path / "x.nii.gz")
