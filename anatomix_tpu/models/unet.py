@@ -270,6 +270,7 @@ def unet_apply(
     conv_impl: str = "xla",
     spatial_axis_name: str | None = None,
     eval_norm_layers: Sequence[int] = (),
+    verbose: bool = False,
 ):
     """Run the UNet on NDHWC input `x`.
 
@@ -419,6 +420,9 @@ def unet_apply(
             if idx in plan.encoder_idx:
                 enc_feats.append(feat)
 
+        if verbose:  # reference's layer-shape tracing (`network.py:484-522`)
+            print(idx, spec.kind, tuple(feat.shape))
+
         if want_taps and idx in layers:
             feats.append(feat)
             if encode_only and idx == layers[-1]:
@@ -427,6 +431,40 @@ def unet_apply(
     if want_taps:
         return (feat, feats) if not train else (feat, feats, new_stats)
     return feat if not train else (feat, new_stats)
+
+
+# -----------------------------------------------------------------------------
+# Standalone conv block (reference API parity)
+
+def conv_block(
+    x: jax.Array,
+    w: jax.Array,
+    b: jax.Array | None = None,
+    *,
+    norm: str = "none",
+    norm_params: dict | None = None,
+    activation: str = "relu",
+    pad_type: str = "zeros",
+    stride: int = 1,
+    norm_eps: float = 1e-5,
+    lrelu_slope: float = 0.2,
+) -> jax.Array:
+    """conv + optional norm + activation — the reference's standalone
+    `ConvBlock` (`network.py:13-124`, unused by the UNet itself but part of
+    the public surface; note its LeakyReLU slope is 0.2 vs the UNet
+    factory's 0.3)."""
+    y = conv3d(
+        x, w, b, stride=stride, padding="SAME", pad_type=pad_type
+    )
+    if norm == "batch":
+        p = norm_params
+        y = batch_norm_inference(
+            y, p["mean"], p["var"], p["scale"], p["bias"], eps=norm_eps
+        )
+    elif norm == "instance":
+        y = instance_norm(y, eps=norm_eps)
+    act = get_activation(activation, lrelu_slope=lrelu_slope)
+    return act(y) if act is not None else y
 
 
 # -----------------------------------------------------------------------------
