@@ -158,6 +158,35 @@ def make_feature_extractor(
         instance-norm models (their normalization context is per-window).
       * 'auto' — 'full' for batch/none norms, 'sliding' otherwise.
     """
+    # ViT backbone: fixed 128³ input -> sliding windows only
+    # ("amenable to sliding window", reference README.md:47)
+    from anatomix_tpu.models.vit3d import PrimusConfig, primus_apply
+
+    if isinstance(plan, PrimusConfig):
+        vit_cfg = plan
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+
+        def vit_window_fn(windows):
+            return primus_apply(
+                vit_cfg, params, windows, compute_dtype=compute_dtype
+            )
+
+        @jax.jit
+        def extract_vit(volume):
+            return sliding_window_inference(
+                volume,
+                vit_window_fn,
+                vit_cfg.num_classes,
+                roi_size=vit_cfg.input_shape,
+                sw_batch_size=sw_batch_size,
+                overlap=overlap,
+                mode=mode,
+                sigma_scale=sigma_scale,
+                mesh=mesh,
+            )
+
+        return extract_vit
+
     if strategy == "auto":
         strategy = "full" if plan.config.norm in ("batch", "none") else "sliding"
     if fold_bn:
