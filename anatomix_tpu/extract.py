@@ -166,13 +166,15 @@ def make_feature_extractor(
         vit_cfg = plan
         params = jax.tree_util.tree_map(jnp.asarray, params)
 
-        def vit_window_fn(windows):
-            return primus_apply(
-                vit_cfg, params, windows, compute_dtype=compute_dtype
-            )
-
+        # params travel as jit ARGUMENTS: closure constants are shipped in
+        # the remote-compile payload and large models exceed its size limit
         @jax.jit
-        def extract_vit(volume):
+        def extract_vit_impl(volume, p):
+            def vit_window_fn(windows):
+                return primus_apply(
+                    vit_cfg, p, windows, compute_dtype=compute_dtype
+                )
+
             return sliding_window_inference(
                 volume,
                 vit_window_fn,
@@ -185,7 +187,7 @@ def make_feature_extractor(
                 mesh=mesh,
             )
 
-        return extract_vit
+        return lambda volume: extract_vit_impl(volume, params)
 
     if strategy == "auto":
         strategy = "full" if plan.config.norm in ("batch", "none") else "sliding"
@@ -215,24 +217,31 @@ def make_feature_extractor(
         )
     out_channels = plan.config.output_nc
 
-    def window_fn(windows):
+    # split static packed metadata (python scalars) from array leaves so
+    # params can travel as a jit argument (see ViT note above)
+    def window_fn(p, windows):
         if conv_impl == "pallas_fused":
             from anatomix_tpu.models.unet_fused import unet_apply_fused
 
             return unet_apply_fused(
-                plan, params, windows,
+                plan, p, windows,
                 compute_dtype=compute_dtype or jnp.bfloat16,
             )
         return unet_apply(
-            plan, params, windows, compute_dtype=compute_dtype,
+            plan, p, windows, compute_dtype=compute_dtype,
             conv_impl=conv_impl,
         )
+
+    # pallas-packed params carry python-static metadata and must stay
+    # closure constants; plain XLA params travel as jit args (large models
+    # exceed the remote-compile payload limit as constants)
+    pass_as_arg = conv_impl == "xla"
 
     if strategy == "full":
         stride = 2 ** plan.config.num_downs
 
         @jax.jit
-        def extract(volume):
+        def extract_impl(volume, p):
             spatial = volume.shape[1:4]
             pads = [(0, 0)]
             crops = []
@@ -242,22 +251,26 @@ def make_feature_extractor(
                 crops.append((pad // 2, pad // 2 + s))
             pads.append((0, 0))
             x = jnp.pad(volume, pads) if any(
-                p != (0, 0) for p in pads
+                q != (0, 0) for q in pads
             ) else volume
-            y = window_fn(x)
+            y = window_fn(p, x)
             (c0, c1), (c2, c3), (c4, c5) = crops
             return y[:, c0:c1, c2:c3, c4:c5, :]
 
-        return extract
+        if pass_as_arg:
+            return lambda volume: extract_impl(volume, params)
+        jitted = jax.jit(lambda volume: extract_impl.__wrapped__(
+            volume, params))
+        return jitted
 
     if strategy != "sliding":
         raise ValueError(f"Unknown strategy: {strategy}")
 
-    @functools.partial(jax.jit, static_argnums=())
-    def extract(volume):
+    @jax.jit
+    def extract_sliding_impl(volume, p):
         return sliding_window_inference(
             volume,
-            window_fn,
+            lambda windows: window_fn(p, windows),
             out_channels,
             roi_size=roi_size,
             sw_batch_size=sw_batch_size,
@@ -267,7 +280,11 @@ def make_feature_extractor(
             mesh=mesh,
         )
 
-    return extract
+    if pass_as_arg:
+        return lambda volume: extract_sliding_impl(volume, params)
+    return jax.jit(
+        lambda volume: extract_sliding_impl.__wrapped__(volume, params)
+    )
 
 
 def extract_features(
