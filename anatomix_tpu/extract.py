@@ -237,6 +237,17 @@ def make_feature_extractor(
     # exceed the remote-compile payload limit as constants)
     pass_as_arg = conv_impl == "xla"
 
+    if strategy == "full" and mesh is not None and "space" in getattr(
+        mesh, "axis_names", ()
+    ):
+        # single giant volume sharded over the 'space' axis with per-conv
+        # halo exchange over ICI (parallel/spatial.py)
+        from anatomix_tpu.parallel.spatial import spatial_sharded_unet
+
+        return spatial_sharded_unet(
+            plan, params, mesh, compute_dtype=compute_dtype
+        )
+
     if strategy == "full":
         stride = 2 ** plan.config.num_downs
 

@@ -220,6 +220,15 @@ def sliding_window_inference(
     weight_np = blend_weight_map(spatial, starts_np, imp_np)
 
     n_real = len(starts_np)
+    if mesh is not None and mesh_axis not in mesh.shape:
+        if len(mesh.axis_names) == 1:
+            # shard over whatever single axis the caller's mesh has
+            mesh_axis = mesh.axis_names[0]
+        else:
+            raise ValueError(
+                f"mesh has no '{mesh_axis}' axis (axes: {mesh.axis_names}); "
+                "pass mesh_axis= explicitly"
+            )
     n_shards = mesh.shape[mesh_axis] if mesh is not None else 1
     group = sw_batch_size * n_shards
     n_padded = int(math.ceil(n_real / group)) * group

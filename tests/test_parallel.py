@@ -82,3 +82,30 @@ def test_receptive_field():
     )
     rf = receptive_field(plan)
     assert rf > 100  # the 6M UNet sees far: tiling with small halos is lossy
+
+
+def test_extractor_full_spatially_sharded(rng):
+    """make_feature_extractor(strategy='full', mesh with 'space' axis) runs
+    the halo-exchanged sharded forward and matches the unsharded one."""
+    from jax.sharding import Mesh
+
+    from anatomix_tpu.extract import make_feature_extractor
+
+    cfg = UnetConfig(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+    )
+    plan = build_plan(cfg)
+    params = init_params(plan, jax.random.PRNGKey(0))
+    vol = jnp.asarray(
+        rng.standard_normal((1, 32, 16, 16, 1)).astype(np.float32)
+    )
+    ref = np.asarray(
+        make_feature_extractor(plan, params, strategy="full")(vol)
+    )
+    smesh = Mesh(np.array(jax.devices()[:4]), ("space",))
+    got = np.asarray(
+        make_feature_extractor(
+            plan, params, strategy="full", mesh=smesh
+        )(vol)
+    )
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)

@@ -209,3 +209,35 @@ def test_tap_channels():
     assert plan.tap_channels([27, 31, 38, 45, 52, 65]) == (
         128, 256, 128, 64, 32, 16,
     )
+
+
+@requires_reference
+@pytest.mark.slow
+def test_golden_parity_full_128(rng):
+    """BASELINE config 1: 6M UNet feature extraction on one 128³ volume,
+    ≤1e-3 feature error vs the torch reference (CPU-runnable)."""
+    import torch
+
+    from anatomix_tpu.extract import make_feature_extractor
+
+    kwargs = VARIANT_KWARGS["anatomix"]
+    model = _torch_unet(**kwargs)
+    _randomize_bn_stats(model, rng)
+    plan, params = _jax_from_torch(model, **kwargs)
+
+    x = rng.standard_normal((1, 128, 128, 128, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    ref = np.moveaxis(ref, 1, -1)
+
+    # single 128³ window == direct forward == full strategy
+    extract = make_feature_extractor(
+        plan, params, strategy="sliding", roi_size=(128, 128, 128),
+        sw_batch_size=1,
+    )
+    import jax.numpy as jnp
+
+    got = np.asarray(extract(jnp.asarray(x)))
+    err = np.max(np.abs(got - ref))
+    rel = err / (np.max(np.abs(ref)) + 1e-12)
+    assert rel < 1e-3, f"relative max err {rel}"
