@@ -1,24 +1,31 @@
-"""Block-space fused UNet inference (Pallas fast path, round-1 v1).
+"""Block-space fused UNet inference (Pallas fast path, v2).
 
-The per-conv space-to-depth repack (`ops/pallas/conv3x3.py`) wins ~1.5–10×
-per op but loses end-to-end to the s2d/d2s transposes between consecutive
-low-channel layers (PERF.md). This module keeps whole resolution levels in
-block (space-to-depth) layout:
+v1 kept only the low-channel levels in block (space-to-depth) layout and
+lost ~45 of its 58 ms to layout glue: the three act+repack
+`convert_maximum` fusions (8–14 ms each) and separate activation passes
+(PERF.md round-1 trace). v2:
 
-* entry: ONE s2d of the (cheap, 1-channel) input;
-* convs with block-packed weights run directly on block tensors — the
-  'same-reflect' halo in block space is an edge-block copy (the only
-  halo voxels with nonzero block weights are exactly the reflected ones);
-* MaxPool/AvgPool(2) in block space is a per-block channel-group reduction
-  (2³ pooling windows == s2d blocks) and *exits* block layout for free;
-* nearest Upsample(2) from normal layout is a channel broadcast and
-  *enters* block layout for free;
-* skip concats interleave per sub-position with two reshapes;
-* exit: ONE d2s of the final feature map.
+* every conv at an even-spatial level with Ci in [8, ~192] runs on the
+  sparse block-space kernel (`ops/pallas/conv_block.py` — 2.37x nominal
+  FLOPs instead of dense-block's 8x, K split by w-offset group);
+* the entry conv (Ci < 8) uses the dense block kernel (1-wide lane slices
+  don't tile for the sparse form);
+* deep levels (min(Ci, Co) >= 64 with Ci*Co too big for sparse weights in
+  VMEM) use the direct lane-padded kernel in normal layout — they are
+  reached through pool (which *exits* block layout for free: 2^3 pooling
+  windows == s2d blocks) and left through upsample (nearest x2 *enters*
+  block layout as a channel tile), so whole-level block residency has no
+  mid-level repacks;
+* bias + activation run inside every Pallas kernel's epilogue; the act
+  layer that follows each conv (reference `network.py:13-124` ConvBlock
+  order conv -> norm -> act, norms pre-folded) is consumed at prepack
+  time. Encoder skip taps land on act-layer indices, whose values are
+  unchanged by the absorption.
 
 Supported configs: batch/none norm (folded), nearest interp, Max/Avg pool,
 reflect/zeros padding, no intra-block residuals — i.e. the flagship
-`anatomix` 6M model. Other configs fall back to the standard paths.
+`anatomix` 6M model (reference `network.py:210-548` semantics). Other
+configs fall back to the standard XLA path.
 """
 
 from __future__ import annotations
@@ -36,10 +43,24 @@ from anatomix_tpu.ops.pallas.conv3x3 import (
     _conv3x3_valid,
     _depth_to_space,
     _space_to_depth,
+    conv3x3_packed,
     prepack_conv,
+)
+from anatomix_tpu.ops.pallas.conv_block import (
+    conv_block_sparse,
+    conv_block_sparse_skip,
+    prepack_sparse,
+    prepack_sparse_skip,
 )
 from anatomix_tpu.ops.pool import avg_pool, max_pool
 from anatomix_tpu.ops.resize import upsample2x
+
+# activations the Pallas epilogues implement
+_EPILOGUE_ACTS = ("relu", "lrelu", "elu", "tanh", "none")
+
+# sparse block weights (64*Ci*8*Co*2 bytes) must fit scoped VMEM next to
+# the tiles; 192->64 (12.6 MB) compiles and wins, 128->128 (16.8 MB) won't
+_SPARSE_W_BYTES_MAX = 13 * 2 ** 20
 
 
 def supports_fusion(cfg) -> bool:
@@ -49,41 +70,119 @@ def supports_fusion(cfg) -> bool:
         and cfg.pad_type in ("reflect", "zeros")
         and cfg.pooling in ("Max", "Avg")
         and not cfg.residual_connection
+        and cfg.activation in _EPILOGUE_ACTS
+        and cfg.final_act in _EPILOGUE_ACTS
     )
+
+
+def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
+    """Per-conv kernel routing from measured v5e rates (PERF.md).
+
+    `skip_c1` > 0 marks a decoder conv fed by Upsample + skip-concat whose
+    first `skip_c1` input channels come from the encoder tap — those run
+    the fused upsample+skip kernel (`conv_block.py`), which never
+    materializes the upsampled tensor or the concat."""
+    even = all(s % 2 == 0 for s in spatial)
+    if skip_c1 >= 8 and even:
+        c2 = cin - skip_c1
+        skip_w = (64 * skip_c1 + 27 * c2) * 8 * cout * 2
+        if skip_w <= _SPARSE_W_BYTES_MAX:
+            return "sparse_skip"
+    sparse_w = 64 * cin * 8 * cout * 2
+    if even and cin < 8:
+        return "block_dense"
+    if even and cin % 8 == 0 and sparse_w <= _SPARSE_W_BYTES_MAX:
+        return "sparse"
+    if cin >= 64 and cout >= 64:
+        return "direct"
+    return "xla"
+
+
+def _skip_c1(plan: UnetPlan, conv_idx: int) -> int:
+    """Encoder-channel count for a decoder conv directly after an
+    Upsample + skip-concat; 0 otherwise."""
+    if not plan.config.use_skip_connection:
+        return 0
+    if conv_idx == 0 or plan.layers[conv_idx - 1].kind != "upsample":
+        return 0
+    if (conv_idx - 1) not in plan.decoder_idx:
+        return 0
+    for j in range(conv_idx - 2, -1, -1):
+        if plan.layers[j].kind == "conv":
+            return plan.layers[conv_idx].in_ch - plan.layers[j].out_ch
+    return 0
+
+
+def _following_act(plan: UnetPlan, conv_idx: int):
+    """Index and name of the act/final_act that consumes this conv's
+    output, skipping folded norms/identities; None if none."""
+    for j in range(conv_idx + 1, plan.num_layers):
+        kind = plan.layers[j].kind
+        if kind in ("norm", "identity"):
+            continue
+        if kind == "act":
+            return j, plan.config.activation
+        if kind == "final_act":
+            return j, plan.config.final_act
+        return None
+    return None
 
 
 def prepack_fused(plan: UnetPlan, params: dict[str, Any],
                   input_spatial=(128, 128, 128), compute_dtype=jnp.bfloat16,
                   interpret: bool = False) -> dict[str, Any]:
-    """Pack each conv for its fused role (block weights where the per-layer
-    policy picks s2d, lane-padded direct weights for deep layers, raw for
-    XLA layers). Requires batch norms already folded."""
+    """Pack each conv for its fused role and absorb the following
+    activation into the kernel epilogue. Requires batch norms already
+    folded (`extract.fold_batchnorm`)."""
     from anatomix_tpu.extract import layer_spatials
-    from anatomix_tpu.ops.pallas.conv3x3 import choose_impl
 
     spatials = layer_spatials(plan, input_spatial)
     new_params = {k: dict(v) for k, v in params.items()}
+    consumed_acts: set[int] = set()
     for idx, spec in enumerate(plan.layers):
         if spec.kind != "conv":
             continue
-        impl = choose_impl(spec.in_ch, spec.out_ch, spatials[idx])
+        c1 = _skip_c1(plan, idx)
+        impl = choose_impl_v2(spec.in_ch, spec.out_ch, spatials[idx], c1)
         if impl == "xla":
             continue
+        act_info = _following_act(plan, idx)
+        act = "none"
+        if act_info is not None:
+            consumed_acts.add(act_info[0])
+            act = act_info[1]
         p = new_params[str(idx)]
-        p["pallas"] = prepack_conv(
-            np.asarray(p["w"]),
-            np.asarray(p["b"]) if "b" in p else None,
-            spatial=spatials[idx],
-            s2d="on" if impl == "pallas_s2d" else "off",
-            compute_dtype=compute_dtype,
-            interpret=interpret,
-        )
+        w = np.asarray(p["w"])
+        b = np.asarray(p["b"]) if "b" in p else None
+        if impl == "sparse_skip":
+            p["fused"] = dict(
+                prepack_sparse_skip(
+                    w, b, c1=c1, act=act, compute_dtype=compute_dtype
+                ),
+                impl="sparse_skip",
+            )
+        elif impl == "sparse":
+            p["fused"] = dict(
+                prepack_sparse(w, b, act=act, compute_dtype=compute_dtype),
+                impl="sparse",
+            )
+        else:
+            p["fused"] = dict(
+                prepack_conv(
+                    w, b, spatial=spatials[idx],
+                    s2d="on" if impl == "block_dense" else "off",
+                    act=act, compute_dtype=compute_dtype,
+                    interpret=interpret,
+                ),
+                impl=impl,
+            )
+    new_params["__consumed_acts__"] = consumed_acts
     return new_params
 
 
-def _conv_block_space(x_block, packed, pad_type, out_dtype, interpret):
-    """Block-layout 3³ conv: edge-block halo (== reflect at full res; zeros
-    for zero padding), lane padding, VALID pallas conv."""
+def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
+    """Dense block-layout 3^3 conv (entry conv): edge-block halo, lane
+    padding, VALID pallas conv."""
     mode = "edge" if pad_type == "reflect" else "constant"
     xp = jnp.pad(
         x_block, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode=mode
@@ -93,7 +192,7 @@ def _conv_block_space(x_block, packed, pad_type, out_dtype, interpret):
     out = jax.vmap(
         lambda v: _conv3x3_valid(
             v, packed["w_packed"], packed["b"], out_dtype=out_dtype,
-            interpret=interpret,
+            interpret=interpret, act=packed.get("act", "none"),
         )
     )(xp)
     if out.shape[-1] != packed["c_out_eff"]:
@@ -104,55 +203,65 @@ def _conv_block_space(x_block, packed, pad_type, out_dtype, interpret):
 def unet_apply_fused(
     plan: UnetPlan,
     params: dict[str, Any],
-    x: jax.Array,  # (B, D, H, W, C), spatial even
+    x: jax.Array,  # (B, D, H, W, C), spatial divisible by 2^num_downs
     *,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> jax.Array:
-    """Inference forward in fused block-space layout. Params must come from
-    `prepack_fused` on BN-folded weights."""
+    """Inference forward in whole-level block-space layout. Params must
+    come from `prepack_fused` on BN-folded weights."""
     cfg = plan.config
     if not supports_fusion(cfg):
         raise ValueError("config not supported by the fused path")
     act = get_activation(cfg.activation)
+    final_act = get_activation(cfg.final_act)
+    consumed = params.get("__consumed_acts__", set())
 
     feat = x.astype(compute_dtype)
     in_block = False
     enc_feats: list[tuple[jax.Array, bool]] = []
 
-    def next_conv_fused(idx):
+    def conv_impl_at(idx):
+        p = params.get(str(idx), {})
+        return p["fused"]["impl"] if "fused" in p else "xla"
+
+    def next_conv_impl(idx):
         for j in range(idx + 1, plan.num_layers):
             if plan.layers[j].kind == "conv":
-                p = params.get(str(j), {})
-                return "pallas" in p and p["pallas"]["use_s2d"]
-        return False
-
-    def to_block(v):
-        return _space_to_depth(v)
-
-    def to_normal(v):
-        return _depth_to_space(v)
+                return conv_impl_at(j)
+        return "xla"
 
     for idx, spec in enumerate(plan.layers):
         p = params.get(str(idx))
         if spec.kind == "conv":
-            packed = p.get("pallas") if p else None
-            if packed is not None and packed["use_s2d"]:
-                if not in_block:
-                    feat = to_block(feat)
-                    in_block = True
-                feat = _conv_block_space(
-                    feat, packed, cfg.pad_type, compute_dtype, interpret
+            packed = p.get("fused") if p else None
+            impl = packed["impl"] if packed else "xla"
+            if impl == "sparse_skip":
+                _, enc, small = feat
+                feat = conv_block_sparse_skip(
+                    enc, small, packed, pad_type=cfg.pad_type,
+                    interpret=interpret,
                 )
+                in_block = True
+            elif impl in ("sparse", "block_dense"):
+                if not in_block:
+                    feat = _space_to_depth(feat)
+                    in_block = True
+                if impl == "sparse":
+                    feat = conv_block_sparse(
+                        feat, packed, pad_type=cfg.pad_type,
+                        interpret=interpret,
+                    )
+                else:
+                    feat = _conv_block_dense(
+                        feat, packed, cfg.pad_type, compute_dtype,
+                        interpret,
+                    )
             else:
                 if in_block:
-                    feat = to_normal(feat)
+                    feat = _depth_to_space(feat)
                     in_block = False
-                if packed is not None:
-                    from anatomix_tpu.ops.pallas.conv3x3 import (
-                        conv3x3_packed,
-                    )
-
+                if packed is not None:  # 'direct'
                     feat = conv3x3_packed(
                         feat, packed, pad_type=cfg.pad_type,
                         compute_dtype=compute_dtype, interpret=interpret,
@@ -163,9 +272,15 @@ def unet_apply_fused(
                         pad_type=cfg.pad_type, compute_dtype=compute_dtype,
                     )
         elif spec.kind == "act":
-            feat = act(feat)
+            if idx not in consumed:
+                feat = act(feat)
+        elif spec.kind == "final_act":
+            if idx not in consumed:
+                feat = final_act(feat)
         elif spec.kind == "pool":
             if in_block:
+                # 2^3 pooling windows == s2d blocks: a per-block channel-
+                # group reduction that exits block layout for free
                 B, d, h, w, c8 = feat.shape
                 grouped = feat.reshape(B, d, h, w, 8, c8 // 8)
                 feat = (
@@ -183,22 +298,38 @@ def unet_apply_fused(
                     else avg_pool(feat, 2)
                 )
         elif spec.kind == "upsample":
-            if in_block:
-                feat = to_normal(feat)
-                in_block = False
-            if next_conv_fused(idx):
-                # nearest ×2 == block broadcast: channels tiled a-major
-                feat = jnp.tile(feat, (1, 1, 1, 1, 8))
+            nxt = next_conv_impl(idx)
+            if nxt == "sparse_skip":
+                # the fused kernel consumes (encoder block, pre-upsample
+                # small) directly; nothing is materialized here
+                small = _depth_to_space(feat) if in_block else feat
+                enc, enc_block = enc_feats.pop()
+                if not enc_block:
+                    enc = _space_to_depth(enc)
+                feat = ("skip_pair", enc, small)
                 in_block = True
             else:
-                feat = upsample2x(feat, "nearest")
-        # 'identity' (folded norm) and 'final_act' (none) fall through
+                if in_block:
+                    feat = _depth_to_space(feat)
+                    in_block = False
+                if nxt in ("sparse", "block_dense"):
+                    # nearest x2 == block broadcast: channels tiled a-major
+                    feat = jnp.tile(feat, (1, 1, 1, 1, 8))
+                    in_block = True
+                else:
+                    feat = upsample2x(feat, "nearest")
+        # 'identity' (folded norm) falls through
 
         if cfg.use_skip_connection:
-            if idx in plan.decoder_idx:
+            if idx in plan.decoder_idx and not (
+                isinstance(feat, tuple) and feat[0] == "skip_pair"
+            ):
                 enc, enc_block = enc_feats.pop()
                 if enc_block != in_block:
-                    enc = to_block(enc) if in_block else to_normal(enc)
+                    enc = (
+                        _space_to_depth(enc) if in_block
+                        else _depth_to_space(enc)
+                    )
                 if in_block:
                     B, d, h, w, c1 = enc.shape
                     c2 = feat.shape[-1]
@@ -215,5 +346,5 @@ def unet_apply_fused(
                 enc_feats.append((feat, in_block))
 
     if in_block:
-        feat = to_normal(feat)
+        feat = _depth_to_space(feat)
     return feat

@@ -32,9 +32,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from anatomix_tpu.ops.pallas.conv_block import _apply_act
+
 
 def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
-                 cout):
+                 cout, act="none"):
     i = pl.program_id(0)
     j = pl.program_id(1)
     dma = pltpu.make_async_copy(
@@ -69,11 +71,12 @@ def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
     )[:, :, :W, :]
     acc = acc + pltpu.roll(z[..., 2 * cout:], Wp - 2, 2)[:, :, :W, :]
     acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
-                           td, th, W, cout):
+                           td, th, W, cout, act="none"):
     """Interpreter-friendly variant (pltpu.roll unsupported off-TPU):
     same math via lax slices."""
     i = pl.program_id(0)
@@ -103,6 +106,7 @@ def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     acc = acc + z[:, :, 1: 1 + W, cout: 2 * cout]
     acc = acc + z[:, :, 2: 2 + W, 2 * cout:]
     acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
     out_ref[...] = acc.astype(out_ref.dtype)
 
 
@@ -130,9 +134,10 @@ def _pick_tile(D, H, Wp, cin, cout, itemsize=2,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret",
+                                              "act"))
 def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
-                   interpret=False):
+                   interpret=False, act="none"):
     """x_padded (D+2, H+2, W+2(+align), Cin) -> (D, H, W, Cout).
     w_packed (9·Cin, 3·Cout) (dz,dy)-major K, dx-major N; bias (1, Cout)."""
     Dp, Hp, Wp0, cin = x_padded.shape
@@ -150,7 +155,7 @@ def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
     td, th = _pick_tile(D, H, Wp, cin, cout,
                         itemsize=x_padded.dtype.itemsize)
     body = _conv_kernel_interpret if interpret else _conv_kernel
-    kernel = functools.partial(body, td=td, th=th, W=W, cout=cout)
+    kernel = functools.partial(body, td=td, th=th, W=W, cout=cout, act=act)
     flops = 2 * D * H * W * cin * cout * 27
     return pl.pallas_call(
         kernel,
@@ -247,6 +252,7 @@ def prepack_conv(
     *,
     spatial=None,
     s2d: str = "auto",
+    act: str = "none",
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
 ) -> dict:
@@ -278,6 +284,7 @@ def prepack_conv(
     return {
         "w_packed": jnp.asarray(pack_weights(w_eff)).astype(compute_dtype),
         "b": jnp.asarray(b_eff)[None],
+        "act": act,
         "use_s2d": use_s2d,
         "cin_pad": cin_pad,
         "c_out_eff": c_out_eff,
@@ -314,7 +321,7 @@ def conv3x3_packed(
     out = jax.vmap(
         lambda v: _conv3x3_valid(
             v, packed["w_packed"], packed["b"], out_dtype=out_dtype,
-            interpret=interpret,
+            interpret=interpret, act=packed.get("act", "none"),
         )
     )(xs)
     n_eff = packed["c_out_eff"]

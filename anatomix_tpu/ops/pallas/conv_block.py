@@ -1,0 +1,543 @@
+"""Pallas TPU kernel: sparse block-space 3x3x3 convolution + epilogue.
+
+The dense block-space formulation (`conv3x3.make_block_weights`) turns a
+stride-1 3^3 conv (Ci -> Co) into a 3^3 conv (8Ci -> 8Co) on the
+half-resolution grid — full 128-lane MXU tiles, but 8x nominal FLOPs
+(its (72*Ci, 24*Co) GEMM weight matrix is 7/8 zeros: an output
+sub-position only sees 27 of the 216 (block-tap, sub-position) combos).
+
+This kernel removes the zeros. Per spatial axis, an output voxel at block
+sub-position a in {0,1} with tap k in {0,1,2} reads full-res offset
+v = a + k - 1 in {-1, 0, 1, 2} — only FOUR values, shared by both a's.
+So the GEMM LHS is the concat of the 4^3 = 64 (vd, vh, vw) shifted views
+of the halo'd block tile — each view is a (block-offset floor(v/2) in
+{-1,0,1}, lane-group parity v mod 2) slice — giving
+
+    K = 64*Ci   (vs 72*Ci dense, but now fully dense rows)
+    N = 8*Co    (all output sub-positions in one shot; no dx post-rolls)
+
+at 64/27 = 2.37x nominal FLOPs instead of 8x. Bias + activation run in the
+kernel epilogue on the f32 accumulator (the separate act passes were the
+three 8–14 ms `convert_maximum` fusions in the round-1 trace, PERF.md).
+
+Reference semantics: `anatomix/model/network.py:13-124` ConvBlock
+(conv3d 'same' + activation); padding handled by the caller as a 1-block
+halo (edge-copy == full-res reflect; zeros == full-res zeros).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# per-axis offset v in {-1, 0, 1, 2}: block offset into the 1-halo'd tile
+# and sub-position parity (lane-group index component)
+_OFF = {v: 1 + (v // 2) for v in (-1, 0, 1, 2)}
+_PAR = {v: v % 2 for v in (-1, 0, 1, 2)}
+
+
+def _apply_act(acc, act: str):
+    if act == "none":
+        return acc
+    if act == "relu":
+        return jnp.maximum(acc, 0.0)
+    if act == "lrelu":
+        return jnp.where(acc >= 0.0, acc, 0.2 * acc)
+    if act == "elu":
+        return jnp.where(acc >= 0.0, acc, jnp.expm1(acc))
+    if act == "tanh":
+        return jnp.tanh(acc)
+    raise ValueError(f"unsupported epilogue act: {act}")
+
+
+def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
+            td, th, W, ci, act, interpret):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_vmem,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    # Mosaic's concatenate requires equal sublane offsets on non-concat
+    # dims (and rolls only exist for 32-bit data), so the 64 (vd, vh, vw)
+    # views are grouped by their w-axis block offset in {0, 1, 2} — each
+    # group concatenates at ONE sublane offset and gets its own GEMM; the
+    # f32 accumulator sums the three partial products (same total FLOPs).
+    def group(vws):
+        views = []
+        for vd in (-1, 0, 1, 2):
+            for vh in (-1, 0, 1, 2):
+                for vw in vws:
+                    g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                    views.append(
+                        x_vmem[
+                            _OFF[vd]: _OFF[vd] + td,
+                            _OFF[vh]: _OFF[vh] + th,
+                            _OFF[vw]: _OFF[vw] + W,
+                            g: g + ci,
+                        ]
+                    )
+        return jnp.concatenate(views, axis=-1)
+
+    dn = (((3,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        group((0, 1)), w1_ref[...], dn, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        group((-1,)), w0_ref[...], dn, preferred_element_type=jnp.float32
+    )
+    acc += jax.lax.dot_general(
+        group((2,)), w2_ref[...], dn, preferred_element_type=jnp.float32
+    )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
+    """DHWIO (3,3,3,Ci,Co) -> sparse block GEMM weights, split into the
+    three w-offset groups the kernel GEMMs separately:
+
+        W0 (16*Ci, 8*Co)  rows (vd, vh)-major, vw = -1
+        W1 (32*Ci, 8*Co)  rows (vd, vh, vw in {0, 1})-major
+        W2 (16*Ci, 8*Co)  rows (vd, vh)-major, vw = 2
+
+    K rows are channel-minor; N cols are output sub-position
+    (ad, ah, aw)-major channel-minor (matching `_space_to_depth`).
+    """
+    w = np.asarray(w)
+    ci, co = w.shape[3], w.shape[4]
+    full = np.zeros((4, 4, 4, ci, 2, 2, 2, co), w.dtype)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                for kd in range(3):
+                    for kh in range(3):
+                        for kw in range(3):
+                            vd, vh, vw = ad + kd - 1, ah + kh - 1, aw + kw - 1
+                            full[vd + 1, vh + 1, vw + 1, :, ad, ah, aw, :] \
+                                += w[kd, kh, kw]
+    full = full.reshape(4, 4, 4 * ci, 8 * co)
+    w0 = full[:, :, :ci].reshape(16 * ci, 8 * co)
+    w1 = full[:, :, ci: 3 * ci].reshape(32 * ci, 8 * co)
+    w2 = full[:, :, 3 * ci:].reshape(16 * ci, 8 * co)
+    return w0, w1, w2
+
+
+def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=10 * 2 ** 20):
+    """Largest (td, th) dividing (d, h) whose working set fits VMEM."""
+    w_bytes = 64 * ci * 8 * co * itemsize
+
+    def cost(td, th):
+        x_tile = (td + 2) * (th + 2) * Wp * 8 * ci * itemsize
+        xs = td * th * Wp * 64 * ci * itemsize
+        z = td * th * Wp * 8 * co * 4
+        out = td * th * Wp * 8 * co * itemsize
+        return 2 * (x_tile + out) + xs + z + w_bytes
+
+    best = (1, 1)
+    for td in (16, 8, 4, 2, 1):
+        if d % td:
+            continue
+        for th in (16, 8, 4, 2, 1):
+            if h % th:
+                continue
+            if cost(td, th) <= vmem_budget and td * th > best[0] * best[1]:
+                best = (td, th)
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "interpret", "out_w"),
+)
+def conv_block_sparse_valid(
+    x_block_padded: jax.Array,  # (d+2, h+2, w+2(+align), 8*Ci) 1-block halo
+    w0: jax.Array,              # (16*Ci, 8*Co) — vw = -1 rows
+    w1: jax.Array,              # (32*Ci, 8*Co) — vw in {0, 1} rows
+    w2: jax.Array,              # (16*Ci, 8*Co) — vw = 2 rows
+    bias8: jax.Array,           # (1, 8*Co) — true bias tiled over sub-pos
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    out_w: int | None = None,   # true output w when the pad included an
+                                # alignment tail (merged single-pad path)
+) -> jax.Array:
+    """Block-space 'valid' 3^3 conv + bias + act: returns (d, h, w, 8*Co)."""
+    dp, hp, wp0, c8 = x_block_padded.shape
+    ci = c8 // 8
+    co8 = w1.shape[-1]
+    d, h = dp - 2, hp - 2
+    w = (wp0 - 2) if out_w is None else out_w
+
+    if wp0 % 8:
+        # align here only if the caller didn't (single-pad fast path pads
+        # halo + alignment in one jnp.pad)
+        x_block_padded = jnp.pad(
+            x_block_padded, ((0, 0), (0, 0), (0, (-wp0) % 8), (0, 0))
+        )
+    Wp = x_block_padded.shape[2]
+
+    td, th = _pick_tile(
+        d, h, Wp, ci, co8 // 8, itemsize=x_block_padded.dtype.itemsize
+    )
+    kernel = functools.partial(_kernel, td=td, th=th, W=w, ci=ci, act=act,
+                               interpret=interpret)
+    flops = 2 * d * h * w * 64 * ci * co8
+    return pl.pallas_call(
+        kernel,
+        grid=(d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (td, th, w, co8), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, h, w, co8), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_block_padded.nbytes,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_block_padded, w0, w1, w2, bias8)
+
+
+def prepack_sparse(
+    w,  # DHWIO (3, 3, 3, Ci, Co) — concrete array, packed on host once
+    b=None,
+    *,
+    act: str = "none",
+    compute_dtype=jnp.bfloat16,
+) -> dict:
+    """Host-side weight repack for the sparse block kernel."""
+    w = np.asarray(w, np.float32)
+    ci, co = w.shape[3], w.shape[4]
+    b = np.zeros((co,), np.float32) if b is None else np.asarray(
+        b, np.float32
+    )
+    w0, w1, w2 = pack_sparse_block_weights(w)
+    return {
+        "w0": jnp.asarray(w0).astype(compute_dtype),
+        "w1": jnp.asarray(w1).astype(compute_dtype),
+        "w2": jnp.asarray(w2).astype(compute_dtype),
+        "b8": jnp.asarray(np.tile(b, 8))[None],
+        "act": act,
+        "ci": ci,
+        "co": co,
+    }
+
+
+def conv_block_sparse(
+    x_block: jax.Array,  # (B, d, h, w, 8*Ci) block layout, un-halo'd
+    packed: dict,
+    *,
+    pad_type: str = "zeros",
+    interpret: bool = False,
+) -> jax.Array:
+    """'Same'-padded sparse block conv: 1-block halo (edge == full-res
+    reflect; zeros == full-res zeros), then the valid kernel."""
+    if pad_type == "reflect":
+        mode = "edge"
+    elif pad_type == "zeros":
+        mode = "constant"
+    else:
+        raise ValueError(
+            f"pad_type {pad_type!r} has no block-space halo equivalent"
+        )
+    # single pad: 1-voxel halo on d/h/w plus the sublane-alignment tail
+    # on w (tail columns are DMA'd but never enter the GEMM)
+    align = (-(x_block.shape[3] + 2)) % 8
+    xp = jnp.pad(
+        x_block, ((0, 0), (1, 1), (1, 1), (1, 1 + align), (0, 0)),
+        mode=mode,
+    )
+    return jax.vmap(
+        lambda v: conv_block_sparse_valid(
+            v, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
+            act=packed["act"], out_dtype=x_block.dtype, interpret=interpret,
+            out_w=x_block.shape[3],
+        )
+    )(xp)
+
+
+# -----------------------------------------------------------------------------
+# Fused upsample + skip-concat + conv (decoder blocks)
+#
+# The reference decoder does Upsample(2, nearest) -> cat([enc, up], ch) ->
+# conv (`network.py:498-502,543-547`). In block space, nearest x2 is a pure
+# channel broadcast — both parities of an upsampled voxel read the SAME
+# source voxel — so the conv can consume the *small* pre-upsample tensor
+# directly: its 64 (v) views collapse to 27 (floor(v/2)) views with weights
+# summed over parities (K = 27*c2), while the encoder skip joins in block
+# form (K = 64*c1). The upsampled tensor and the concat are never
+# materialized (they were the tile broadcasts + interleave reshapes in the
+# v2 trace).
+
+
+def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
+                 enc_vmem, sm_vmem, sems, *, td, th, W, c1, c2, act,
+                 interpret):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    dma_e = pltpu.make_async_copy(
+        enc_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        enc_vmem, sems.at[0],
+    )
+    dma_s = pltpu.make_async_copy(
+        sm_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        sm_vmem, sems.at[1],
+    )
+    dma_e.start()
+    dma_s.start()
+    dma_e.wait()
+    dma_s.wait()
+
+    def group(vws, gw):
+        views = []
+        for vd in (-1, 0, 1, 2):
+            for vh in (-1, 0, 1, 2):
+                for vw in vws:
+                    g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * c1
+                    views.append(
+                        enc_vmem[
+                            _OFF[vd]: _OFF[vd] + td,
+                            _OFF[vh]: _OFF[vh] + th,
+                            _OFF[vw]: _OFF[vw] + W,
+                            g: g + c1,
+                        ]
+                    )
+        for od in (0, 1, 2):
+            for oh in (0, 1, 2):
+                views.append(
+                    sm_vmem[od: od + td, oh: oh + th, gw: gw + W, :]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    dn = (((3,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        group((0, 1), 1), w1_ref[...], dn,
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        group((-1,), 0), w0_ref[...], dn,
+        preferred_element_type=jnp.float32,
+    )
+    acc += jax.lax.dot_general(
+        group((2,), 2), w2_ref[...], dn,
+        preferred_element_type=jnp.float32,
+    )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def pack_sparse_skip_weights(w: np.ndarray, c1: int, c2_pad: int = 0):
+    """DHWIO (3,3,3,c1+c2,Co) -> three per-w-offset-group GEMM weights
+    where rows are [encoder block views (64*c1 split 16/32/16), small
+    (pre-upsample) views (27*(c2+c2_pad) split 9/9/9, parity-summed)].
+
+    `c2_pad` adds zero weight rows for channel padding of the small input
+    (manual Mosaic DMA requires the minor dim to be a multiple of 128)."""
+    w = np.asarray(w)
+    cin, co = w.shape[3], w.shape[4]
+    c2 = cin - c1
+    enc0, enc1, enc2 = pack_sparse_block_weights(w[:, :, :, :c1])
+    sm = np.zeros((3, 3, 3, c2 + c2_pad, 2, 2, 2, co), w.dtype)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                for kd in range(3):
+                    for kh in range(3):
+                        for kw in range(3):
+                            od = (ad + kd - 1) // 2
+                            oh = (ah + kh - 1) // 2
+                            ow = (aw + kw - 1) // 2
+                            sm[od + 1, oh + 1, ow + 1, :c2, ad, ah, aw, :] \
+                                += w[kd, kh, kw, c1:]
+    c2p = c2 + c2_pad
+    sm = sm.reshape(3, 3, 3 * c2p, 8 * co)
+    groups = []
+    for gw, enc_g in ((0, enc0), (1, enc1), (2, enc2)):
+        sm_g = sm[:, :, gw * c2p: (gw + 1) * c2p].reshape(9 * c2p, 8 * co)
+        groups.append(np.concatenate([enc_g, sm_g], axis=0))
+    return tuple(groups)
+
+
+def prepack_sparse_skip(
+    w,  # DHWIO (3, 3, 3, c1 + c2, Co)
+    b=None,
+    *,
+    c1: int,
+    act: str = "none",
+    compute_dtype=jnp.bfloat16,
+) -> dict:
+    """Host-side repack for the fused upsample+skip+conv kernel."""
+    w = np.asarray(w, np.float32)
+    cin, co = w.shape[3], w.shape[4]
+    b = np.zeros((co,), np.float32) if b is None else np.asarray(
+        b, np.float32
+    )
+    c2 = cin - c1
+    c2_pad = (-c2) % 128
+    w0, w1, w2 = pack_sparse_skip_weights(w, c1, c2_pad)
+    return {
+        "w0": jnp.asarray(w0).astype(compute_dtype),
+        "w1": jnp.asarray(w1).astype(compute_dtype),
+        "w2": jnp.asarray(w2).astype(compute_dtype),
+        "b8": jnp.asarray(np.tile(b, 8))[None],
+        "act": act,
+        "c1": c1,
+        "c2": c2,
+        "c2_pad": c2_pad,
+        "co": co,
+    }
+
+
+def _pick_tile_skip(d, h, Wp, c1, c2, co, itemsize=2,
+                    vmem_budget=10 * 2 ** 20):
+    w_bytes = (64 * c1 + 27 * c2) * 8 * co * itemsize
+
+    def cost(td, th):
+        tiles = (td + 2) * (th + 2) * Wp * (8 * c1 + c2) * itemsize
+        xs = td * th * Wp * (64 * c1 + 27 * c2) * itemsize
+        z = td * th * Wp * 8 * co * 4
+        out = td * th * Wp * 8 * co * itemsize
+        return 2 * (tiles + out) + xs + z + w_bytes
+
+    best = (1, 1)
+    for td in (16, 8, 4, 2, 1):
+        if d % td:
+            continue
+        for th in (16, 8, 4, 2, 1):
+            if h % th:
+                continue
+            if cost(td, th) <= vmem_budget and td * th > best[0] * best[1]:
+                best = (td, th)
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "interpret", "out_w"),
+)
+def conv_block_skip_valid(
+    enc_padded: jax.Array,  # (d+2, h+2, w+2(+align), 8*c1) block, halo'd
+    sm_padded: jax.Array,   # (d+2, h+2, w+2(+align), c2) normal, halo'd
+    w0: jax.Array, w1: jax.Array, w2: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    out_w: int | None = None,
+) -> jax.Array:
+    dp, hp, wp0, c8 = enc_padded.shape
+    c1 = c8 // 8
+    c2 = sm_padded.shape[-1]
+    co8 = w1.shape[-1]
+    d, h = dp - 2, hp - 2
+    w = (wp0 - 2) if out_w is None else out_w
+    if wp0 % 8:
+        pad = (-wp0) % 8
+        enc_padded = jnp.pad(enc_padded, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        sm_padded = jnp.pad(sm_padded, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    Wp = enc_padded.shape[2]
+
+    td, th = _pick_tile_skip(
+        d, h, Wp, c1, c2, co8 // 8, itemsize=enc_padded.dtype.itemsize
+    )
+    kernel = functools.partial(
+        _kernel_skip, td=td, th=th, W=w, c1=c1, c2=c2, act=act,
+        interpret=interpret,
+    )
+    flops = 2 * d * h * w * (64 * c1 + 27 * c2) * co8
+    return pl.pallas_call(
+        kernel,
+        grid=(d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (td, th, w, co8), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((d, h, w, co8), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, c8), enc_padded.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp, c2), sm_padded.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=enc_padded.nbytes + sm_padded.nbytes,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(enc_padded, sm_padded, w0, w1, w2, bias8)
+
+
+def conv_block_sparse_skip(
+    enc_block: jax.Array,  # (B, d, h, w, 8*c1) block layout, un-halo'd
+    small: jax.Array,      # (B, d, h, w, c2) pre-upsample, un-halo'd
+    packed: dict,
+    *,
+    pad_type: str = "zeros",
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Upsample(2, nearest) + cat([enc, up]) + 3^3 conv + bias + act,
+    output in block layout (B, d, h, w, 8*Co)."""
+    if pad_type == "reflect":
+        mode = "edge"
+    elif pad_type == "zeros":
+        mode = "constant"
+    else:
+        raise ValueError(
+            f"pad_type {pad_type!r} has no block-space halo equivalent"
+        )
+    align = (-(enc_block.shape[3] + 2)) % 8
+    pads = ((0, 0), (1, 1), (1, 1), (1, 1 + align), (0, 0))
+    encp = jnp.pad(enc_block, pads, mode=mode)
+    if packed.get("c2_pad"):
+        # manual Mosaic DMA needs minor dim % 128 == 0; zero-padded
+        # channels multiply zero weight rows
+        small = jnp.pad(
+            small, ((0, 0),) * 4 + ((0, packed["c2_pad"]),)
+        )
+    # nearest-upsample halo: the reference pads the *upsampled* tensor, and
+    # up(x)[-1] == x[0] (reflect of index -1 at full res is index 1, whose
+    # source voxel is x[0]); for zeros the halo is zero. Edge mode matches
+    # both through the parity-summed weights only when the halo voxel's
+    # two parities agree — for nearest x2 they do: both read the edge.
+    smp = jnp.pad(small, pads, mode=mode)
+    return jax.vmap(
+        lambda e, v: conv_block_skip_valid(
+            e, v, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
+            act=packed["act"], out_dtype=enc_block.dtype,
+            interpret=interpret, out_w=enc_block.shape[3],
+        )
+    )(encp, smp)

@@ -65,6 +65,37 @@ def amortized_time(f, x, *, n: int = 10, reps: int = 3) -> float:
     return max(times[len(times) // 2] - floor, 1e-9) / n
 
 
+def movement_time(f, x, *, n: int = 8, reps: int = 3) -> float:
+    """Per-call seconds for a DATA-MOVEMENT op (transpose/reshape/copy).
+
+    `pipeline_time`'s `jnp.sum(f(x))` probe is wrong for these: XLA fuses
+    a transpose into the consuming reduction and never materializes it
+    (trap #4 — an XLA d2s read 0.09 ms where its true materialized cost is
+    ~14 ms). `lax.optimization_barrier` around the output forces
+    materialization inside the chained loop."""
+
+    def many(v):
+        def body(_, carry):
+            v, acc = carry
+            out = jax.lax.optimization_barrier(f(v))
+            probe = jnp.asarray(out)
+            idx = (0,) * probe.ndim
+            return (v * 0.9999, acc + probe[idx].astype(jnp.float32))
+        _, acc = jax.lax.fori_loop(0, n, body, (v, jnp.zeros(())))
+        return acc
+
+    floor = dispatch_floor()
+    m = jax.jit(many)
+    float(m(x))
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(m(x))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return max(times[len(times) // 2] - floor, 1e-9) / n
+
+
 def pipeline_time(f, x, *, n: int = 5, reps: int = 3) -> float:
     """Per-call seconds for a function whose output shape differs from its
     input (e.g. sliding-window extraction): run it n times on perturbed

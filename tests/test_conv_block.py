@@ -1,0 +1,189 @@
+"""Sparse block-space conv kernel + fused upsample/skip kernel + fused
+UNet v2 correctness (interpret mode on CPU).
+
+Interpret mode emulates TPU bf16 dot numerics, so tolerances are relative
+~1e-2 even when inputs are f32; op structure is validated exactly by the
+numpy emulation in `test_pack_sparse_weights_math`.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from anatomix_tpu.ops.conv import conv3d
+from anatomix_tpu.ops.pallas.conv3x3 import _depth_to_space, _space_to_depth
+from anatomix_tpu.ops.pallas.conv_block import (
+    conv_block_sparse,
+    conv_block_sparse_skip,
+    pack_sparse_block_weights,
+    prepack_sparse,
+    prepack_sparse_skip,
+)
+from anatomix_tpu.ops.resize import upsample2x
+
+
+def test_pack_sparse_weights_math(rng):
+    """Exact (f64) numpy check: 64-view GEMM == direct conv."""
+    ci, co, D = 2, 3, 8
+    x = rng.standard_normal((D, D, D, ci))
+    w = rng.standard_normal((3, 3, 3, ci, co)) * 0.1
+    xp = np.pad(x, ((1, 1),) * 3 + ((0, 0),))
+    ref = np.zeros((D, D, D, co))
+    for kd in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                ref += np.einsum(
+                    "dhwi,io->dhwo",
+                    xp[kd: kd + D, kh: kh + D, kw: kw + D],
+                    w[kd, kh, kw],
+                )
+    d = D // 2
+    xb = (
+        x.reshape(d, 2, d, 2, d, 2, ci)
+        .transpose(0, 2, 4, 1, 3, 5, 6)
+        .reshape(d, d, d, 8 * ci)
+    )
+    xbp = np.pad(xb, ((1, 1),) * 3 + ((0, 0),))
+    from anatomix_tpu.ops.pallas.conv_block import _OFF, _PAR
+
+    views = []
+    for vd in (-1, 0, 1, 2):
+        for vh in (-1, 0, 1, 2):
+            for vw in (-1, 0, 1, 2):
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    xbp[
+                        _OFF[vd]: _OFF[vd] + d,
+                        _OFF[vh]: _OFF[vh] + d,
+                        _OFF[vw]: _OFF[vw] + d,
+                        g: g + ci,
+                    ]
+                )
+    xs = np.concatenate(views, axis=-1)
+    w0, w1, w2 = pack_sparse_block_weights(w)
+    # regroup views by w-offset to match the kernel's three GEMMs
+    idx = 0
+    g0, g1, g2 = [], [], []
+    for vd in (-1, 0, 1, 2):
+        for vh in (-1, 0, 1, 2):
+            for vw in (-1, 0, 1, 2):
+                sl = xs[..., idx * ci: (idx + 1) * ci]
+                (g0 if vw == -1 else g2 if vw == 2 else g1).append(sl)
+                idx += 1
+    z = (
+        np.concatenate(g1, -1) @ w1
+        + np.concatenate(g0, -1) @ w0
+        + np.concatenate(g2, -1) @ w2
+    )
+    z = (
+        z.reshape(d, d, d, 2, 2, 2, co)
+        .transpose(0, 3, 1, 4, 2, 5, 6)
+        .reshape(D, D, D, co)
+    )
+    np.testing.assert_allclose(z, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize(
+    "ci,co,pad,act",
+    [
+        (3, 5, "zeros", "none"),
+        (16, 16, "reflect", "lrelu"),
+        (8, 4, "zeros", "relu"),
+    ],
+)
+def test_conv_block_sparse_matches_xla(rng, ci, co, pad, act):
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, ci)).astype(np.float32))
+    w = rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32) * 0.1
+    b = rng.standard_normal(co).astype(np.float32)
+    ref = np.asarray(
+        conv3d(x, jnp.asarray(w), jnp.asarray(b), padding="SAME",
+               pad_type=pad)
+    )
+    if act == "lrelu":
+        ref = np.where(ref >= 0, ref, 0.2 * ref)
+    elif act == "relu":
+        ref = np.maximum(ref, 0)
+    packed = prepack_sparse(w, b, act=act, compute_dtype=jnp.float32)
+    got = np.asarray(
+        _depth_to_space(
+            conv_block_sparse(
+                _space_to_depth(x), packed, pad_type=pad, interpret=True
+            )
+        )
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+@pytest.mark.parametrize(
+    "c1,c2,co,pad", [(4, 6, 5, "reflect"), (16, 8, 16, "zeros")]
+)
+def test_conv_block_skip_matches_xla(rng, c1, c2, co, pad):
+    """Fused upsample+concat+conv == upsample2x -> cat -> conv3d."""
+    enc = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 8, c1)).astype(np.float32)
+    )
+    small = jnp.asarray(
+        rng.standard_normal((1, 4, 4, 4, c2)).astype(np.float32)
+    )
+    w = rng.standard_normal((3, 3, 3, c1 + c2, co)).astype(np.float32) * 0.1
+    b = rng.standard_normal(co).astype(np.float32)
+    cat = jnp.concatenate([enc, upsample2x(small, "nearest")], axis=-1)
+    ref = np.asarray(
+        conv3d(cat, jnp.asarray(w), jnp.asarray(b), padding="SAME",
+               pad_type=pad)
+    )
+    ref = np.where(ref >= 0, ref, 0.2 * ref)
+    packed = prepack_sparse_skip(
+        w, b, c1=c1, act="lrelu", compute_dtype=jnp.float32
+    )
+    got = np.asarray(
+        _depth_to_space(
+            conv_block_sparse_skip(
+                _space_to_depth(enc), small, packed, pad_type=pad,
+                interpret=True,
+            )
+        )
+    )
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-2
+
+
+def test_unet_fused_v2_matches_xla(rng):
+    """Whole fused-v2 forward vs the XLA UNet (anatomix config, small
+    volume): per-layer bf16-emulated dots bound the accumulated error."""
+    from anatomix_tpu.extract import fold_batchnorm
+    from anatomix_tpu.models.unet import (
+        UnetConfig, build_plan, init_params, unet_apply,
+    )
+    from anatomix_tpu.models.unet_fused import (
+        prepack_fused, unet_apply_fused,
+    )
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=2,
+                   ngf=8)
+    )
+    params = init_params(plan, jax.random.PRNGKey(0))
+    fplan, fparams = fold_batchnorm(plan, params)
+    fparams = jax.tree_util.tree_map(jnp.asarray, fparams)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 16, 1),
+                          jnp.float32)
+    ref = np.asarray(
+        unet_apply(fplan, fparams, x, compute_dtype=jnp.float32)
+    ).astype(np.float32)
+    pf = prepack_fused(
+        fplan, fparams, input_spatial=(16, 16, 16),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    impls = {
+        idx: pf[str(idx)].get("fused", {}).get("impl", "xla")
+        for idx, spec in enumerate(fplan.layers) if spec.kind == "conv"
+    }
+    assert "sparse" in impls.values()
+    assert "sparse_skip" in impls.values()
+    got = np.asarray(
+        unet_apply_fused(
+            fplan, pf, x, compute_dtype=jnp.float32, interpret=True
+        )
+    ).astype(np.float32)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
