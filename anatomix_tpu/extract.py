@@ -140,7 +140,7 @@ def make_feature_extractor(
     compute_dtype=None,
     fold_bn: bool = True,
     mesh=None,
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
 ):
     """Build a jitted `volume (1,D,H,W,C) -> features (1,D,H,W,out)` fn.
 
@@ -193,6 +193,19 @@ def make_feature_extractor(
         strategy = "full" if plan.config.norm in ("batch", "none") else "sliding"
     if fold_bn:
         plan, params = fold_batchnorm(plan, params)
+    if conv_impl == "auto":
+        # fused block-space Pallas path for eligible configs (needs folded
+        # norms and a TPU backend — interpret-mode fallbacks are for tests)
+        from anatomix_tpu.models.unet_fused import supports_fusion
+
+        on_tpu = jax.default_backend() not in ("cpu",)
+        fusable = (
+            supports_fusion(plan.config)
+            and (fold_bn or plan.config.norm == "none")
+            and on_tpu
+            and mesh is None  # sharded paths take the plain-params route
+        )
+        conv_impl = "pallas_fused" if fusable else "xla"
     params = jax.tree_util.tree_map(jnp.asarray, params)
     if conv_impl == "pallas":
         # after tree_map: the packed metadata must stay python-static

@@ -189,12 +189,10 @@ def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
     )
     if packed["cin_pad"]:
         xp = jnp.pad(xp, ((0, 0),) * 4 + ((0, packed["cin_pad"]),))
-    out = jax.vmap(
-        lambda v: _conv3x3_valid(
-            v, packed["w_packed"], packed["b"], out_dtype=out_dtype,
-            interpret=interpret, act=packed.get("act", "none"),
-        )
-    )(xp)
+    out = _conv3x3_valid(
+        xp, packed["w_packed"], packed["b"], out_dtype=out_dtype,
+        interpret=interpret, act=packed.get("act", "none"),
+    )
     if out.shape[-1] != packed["c_out_eff"]:
         out = out[..., : packed["c_out_eff"]]
     return out

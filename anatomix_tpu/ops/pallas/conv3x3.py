@@ -37,10 +37,11 @@ from anatomix_tpu.ops.pallas.conv_block import _apply_act
 
 def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
                  cout, act="none"):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
         x_vmem,
         sem,
     )
@@ -72,17 +73,18 @@ def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
     acc = acc + pltpu.roll(z[..., 2 * cout:], Wp - 2, 2)[:, :, :W, :]
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
-    out_ref[...] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
                            td, th, W, cout, act="none"):
     """Interpreter-friendly variant (pltpu.roll unsupported off-TPU):
     same math via lax slices."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
         x_vmem,
         sem,
     )
@@ -107,7 +109,7 @@ def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     acc = acc + z[:, :, 2: 2 + W, 2 * cout:]
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
-    out_ref[...] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _pick_tile(D, H, Wp, cin, cout, itemsize=2,
@@ -138,9 +140,11 @@ def _pick_tile(D, H, Wp, cin, cout, itemsize=2,
                                               "act"))
 def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
                    interpret=False, act="none"):
-    """x_padded (D+2, H+2, W+2(+align), Cin) -> (D, H, W, Cout).
-    w_packed (9·Cin, 3·Cout) (dz,dy)-major K, dx-major N; bias (1, Cout)."""
-    Dp, Hp, Wp0, cin = x_padded.shape
+    """x_padded (B, D+2, H+2, W+2(+align), Cin) -> (B, D, H, W, Cout).
+    w_packed (9·Cin, 3·Cout) (dz,dy)-major K, dx-major N; bias (1, Cout).
+    Batch is a grid dimension (vmap cannot batch pl.ANY manual-DMA
+    inputs)."""
+    B, Dp, Hp, Wp0, cin = x_padded.shape
     D, H, W = Dp - 2, Hp - 2, Wp0 - 2
     cout = w_packed.shape[-1] // 3
 
@@ -148,28 +152,28 @@ def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
     w_align = (-Wp0) % 8
     if w_align:
         x_padded = jnp.pad(
-            x_padded, ((0, 0), (0, 0), (0, w_align), (0, 0))
+            x_padded, ((0, 0),) * 3 + ((0, w_align), (0, 0))
         )
-    Wp = x_padded.shape[2]
+    Wp = x_padded.shape[3]
 
     td, th = _pick_tile(D, H, Wp, cin, cout,
                         itemsize=x_padded.dtype.itemsize)
     body = _conv_kernel_interpret if interpret else _conv_kernel
     kernel = functools.partial(body, td=td, th=th, W=W, cout=cout, act=act)
-    flops = 2 * D * H * W * cin * cout * 27
+    flops = 2 * B * D * H * W * cin * cout * 27
     return pl.pallas_call(
         kernel,
-        grid=(D // td, H // th),
+        grid=(B, D // td, H // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (td, th, W, cout), lambda i, j: (i, j, 0, 0),
+            (1, td, th, W, cout), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((D, H, W, cout), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, D, H, W, cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((td + 2, th + 2, Wp, cin), x_padded.dtype),
             pltpu.SemaphoreType.DMA,
@@ -318,12 +322,10 @@ def conv3x3_packed(
     if packed["cin_pad"]:
         xs = jnp.pad(xs, ((0, 0),) * 4 + ((0, packed["cin_pad"]),))
 
-    out = jax.vmap(
-        lambda v: _conv3x3_valid(
-            v, packed["w_packed"], packed["b"], out_dtype=out_dtype,
-            interpret=interpret, act=packed.get("act", "none"),
-        )
-    )(xs)
+    out = _conv3x3_valid(
+        xs, packed["w_packed"], packed["b"], out_dtype=out_dtype,
+        interpret=interpret, act=packed.get("act", "none"),
+    )
     n_eff = packed["c_out_eff"]
     if out.shape[-1] != n_eff:
         out = out[..., :n_eff]

@@ -57,10 +57,11 @@ def _apply_act(acc, act: str):
 
 def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
             td, th, W, ci, act, interpret):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dma = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
         x_vmem,
         sem,
     )
@@ -100,7 +101,7 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
     )
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
-    out_ref[...] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
@@ -133,14 +134,20 @@ def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
     return w0, w1, w2
 
 
-def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=10 * 2 ** 20):
-    """Largest (td, th) dividing (d, h) whose working set fits VMEM."""
+_VMEM_LIMIT = 40 * 2 ** 20  # raised scoped-vmem limit (v5e: 128 MB phys)
+
+
+def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=24 * 2 ** 20):
+    """Largest (td, th) dividing (d, h) whose working set fits VMEM.
+    Mosaic additionally materializes a relayout copy of the GEMM LHS and
+    accumulator (measured: true usage ~ model + xs + z), hence the 2x
+    factors."""
     w_bytes = 64 * ci * 8 * co * itemsize
 
     def cost(td, th):
         x_tile = (td + 2) * (th + 2) * Wp * 8 * ci * itemsize
-        xs = td * th * Wp * 64 * ci * itemsize
-        z = td * th * Wp * 8 * co * 4
+        xs = 2 * td * th * Wp * 64 * ci * itemsize
+        z = 2 * td * th * Wp * 8 * co * 4
         out = td * th * Wp * 8 * co * itemsize
         return 2 * (x_tile + out) + xs + z + w_bytes
 
@@ -161,7 +168,7 @@ def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=10 * 2 ** 20):
     static_argnames=("act", "out_dtype", "interpret", "out_w"),
 )
 def conv_block_sparse_valid(
-    x_block_padded: jax.Array,  # (d+2, h+2, w+2(+align), 8*Ci) 1-block halo
+    x_block_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), 8*Ci) halo'd
     w0: jax.Array,              # (16*Ci, 8*Co) — vw = -1 rows
     w1: jax.Array,              # (32*Ci, 8*Co) — vw in {0, 1} rows
     w2: jax.Array,              # (16*Ci, 8*Co) — vw = 2 rows
@@ -173,8 +180,10 @@ def conv_block_sparse_valid(
     out_w: int | None = None,   # true output w when the pad included an
                                 # alignment tail (merged single-pad path)
 ) -> jax.Array:
-    """Block-space 'valid' 3^3 conv + bias + act: returns (d, h, w, 8*Co)."""
-    dp, hp, wp0, c8 = x_block_padded.shape
+    """Block-space 'valid' 3^3 conv + bias + act:
+    returns (B, d, h, w, 8*Co). Batch is a grid dimension (vmap cannot
+    batch pl.ANY inputs with manual DMA)."""
+    B, dp, hp, wp0, c8 = x_block_padded.shape
     ci = c8 // 8
     co8 = w1.shape[-1]
     d, h = dp - 2, hp - 2
@@ -184,19 +193,19 @@ def conv_block_sparse_valid(
         # align here only if the caller didn't (single-pad fast path pads
         # halo + alignment in one jnp.pad)
         x_block_padded = jnp.pad(
-            x_block_padded, ((0, 0), (0, 0), (0, (-wp0) % 8), (0, 0))
+            x_block_padded, ((0, 0),) * 3 + ((0, (-wp0) % 8), (0, 0))
         )
-    Wp = x_block_padded.shape[2]
+    Wp = x_block_padded.shape[3]
 
     td, th = _pick_tile(
         d, h, Wp, ci, co8 // 8, itemsize=x_block_padded.dtype.itemsize
     )
     kernel = functools.partial(_kernel, td=td, th=th, W=w, ci=ci, act=act,
                                interpret=interpret)
-    flops = 2 * d * h * w * 64 * ci * co8
+    flops = 2 * B * d * h * w * 64 * ci * co8
     return pl.pallas_call(
         kernel,
-        grid=(d // td, h // th),
+        grid=(B, d // td, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -205,10 +214,10 @@ def conv_block_sparse_valid(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (td, th, w, co8), lambda i, j: (i, j, 0, 0),
+            (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, h, w, co8), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block_padded.dtype),
             pltpu.SemaphoreType.DMA,
@@ -217,6 +226,9 @@ def conv_block_sparse_valid(
             flops=flops,
             bytes_accessed=x_block_padded.nbytes,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(x_block_padded, w0, w1, w2, bias8)
@@ -271,13 +283,11 @@ def conv_block_sparse(
         x_block, ((0, 0), (1, 1), (1, 1), (1, 1 + align), (0, 0)),
         mode=mode,
     )
-    return jax.vmap(
-        lambda v: conv_block_sparse_valid(
-            v, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
-            act=packed["act"], out_dtype=x_block.dtype, interpret=interpret,
-            out_w=x_block.shape[3],
-        )
-    )(xp)
+    return conv_block_sparse_valid(
+        xp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
+        act=packed["act"], out_dtype=x_block.dtype, interpret=interpret,
+        out_w=x_block.shape[3],
+    )
 
 
 # -----------------------------------------------------------------------------
@@ -297,14 +307,15 @@ def conv_block_sparse(
 def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
                  enc_vmem, sm_vmem, sems, *, td, th, W, c1, c2, act,
                  interpret):
-    i = pl.program_id(0)
-    j = pl.program_id(1)
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     dma_e = pltpu.make_async_copy(
-        enc_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        enc_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
         enc_vmem, sems.at[0],
     )
     dma_s = pltpu.make_async_copy(
-        sm_hbm.at[pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        sm_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
         sm_vmem, sems.at[1],
     )
     dma_e.start()
@@ -348,7 +359,7 @@ def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
     )
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
-    out_ref[...] = acc.astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def pack_sparse_skip_weights(w: np.ndarray, c1: int, c2_pad: int = 0):
@@ -414,13 +425,13 @@ def prepack_sparse_skip(
 
 
 def _pick_tile_skip(d, h, Wp, c1, c2, co, itemsize=2,
-                    vmem_budget=10 * 2 ** 20):
+                    vmem_budget=24 * 2 ** 20):
     w_bytes = (64 * c1 + 27 * c2) * 8 * co * itemsize
 
     def cost(td, th):
         tiles = (td + 2) * (th + 2) * Wp * (8 * c1 + c2) * itemsize
-        xs = td * th * Wp * (64 * c1 + 27 * c2) * itemsize
-        z = td * th * Wp * 8 * co * 4
+        xs = 2 * td * th * Wp * (64 * c1 + 27 * c2) * itemsize
+        z = 2 * td * th * Wp * 8 * co * 4
         out = td * th * Wp * 8 * co * itemsize
         return 2 * (tiles + out) + xs + z + w_bytes
 
@@ -441,8 +452,8 @@ def _pick_tile_skip(d, h, Wp, c1, c2, co, itemsize=2,
     static_argnames=("act", "out_dtype", "interpret", "out_w"),
 )
 def conv_block_skip_valid(
-    enc_padded: jax.Array,  # (d+2, h+2, w+2(+align), 8*c1) block, halo'd
-    sm_padded: jax.Array,   # (d+2, h+2, w+2(+align), c2) normal, halo'd
+    enc_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), 8*c1) block, halo'd
+    sm_padded: jax.Array,   # (B, d+2, h+2, w+2(+align), c2) normal, halo'd
     w0: jax.Array, w1: jax.Array, w2: jax.Array,
     bias8: jax.Array,
     *,
@@ -451,17 +462,17 @@ def conv_block_skip_valid(
     interpret: bool = False,
     out_w: int | None = None,
 ) -> jax.Array:
-    dp, hp, wp0, c8 = enc_padded.shape
+    B, dp, hp, wp0, c8 = enc_padded.shape
     c1 = c8 // 8
     c2 = sm_padded.shape[-1]
     co8 = w1.shape[-1]
     d, h = dp - 2, hp - 2
     w = (wp0 - 2) if out_w is None else out_w
     if wp0 % 8:
-        pad = (-wp0) % 8
-        enc_padded = jnp.pad(enc_padded, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        sm_padded = jnp.pad(sm_padded, ((0, 0), (0, 0), (0, pad), (0, 0)))
-    Wp = enc_padded.shape[2]
+        pad = ((0, 0),) * 3 + ((0, (-wp0) % 8), (0, 0))
+        enc_padded = jnp.pad(enc_padded, pad)
+        sm_padded = jnp.pad(sm_padded, pad)
+    Wp = enc_padded.shape[3]
 
     td, th = _pick_tile_skip(
         d, h, Wp, c1, c2, co8 // 8, itemsize=enc_padded.dtype.itemsize
@@ -470,10 +481,10 @@ def conv_block_skip_valid(
         _kernel_skip, td=td, th=th, W=w, c1=c1, c2=c2, act=act,
         interpret=interpret,
     )
-    flops = 2 * d * h * w * (64 * c1 + 27 * c2) * co8
+    flops = 2 * B * d * h * w * (64 * c1 + 27 * c2) * co8
     return pl.pallas_call(
         kernel,
-        grid=(d // td, h // th),
+        grid=(B, d // td, h // th),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -483,10 +494,10 @@ def conv_block_skip_valid(
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (td, th, w, co8), lambda i, j: (i, j, 0, 0),
+            (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((d, h, w, co8), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((td + 2, th + 2, Wp, c8), enc_padded.dtype),
             pltpu.VMEM((td + 2, th + 2, Wp, c2), sm_padded.dtype),
@@ -496,6 +507,9 @@ def conv_block_skip_valid(
             flops=flops,
             bytes_accessed=enc_padded.nbytes + sm_padded.nbytes,
             transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(enc_padded, sm_padded, w0, w1, w2, bias8)
@@ -534,10 +548,8 @@ def conv_block_sparse_skip(
     # both through the parity-summed weights only when the halo voxel's
     # two parities agree — for nearest x2 they do: both read the edge.
     smp = jnp.pad(small, pads, mode=mode)
-    return jax.vmap(
-        lambda e, v: conv_block_skip_valid(
-            e, v, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
-            act=packed["act"], out_dtype=enc_block.dtype,
-            interpret=interpret, out_w=enc_block.shape[3],
-        )
-    )(encp, smp)
+    return conv_block_skip_valid(
+        encp, smp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
+        act=packed["act"], out_dtype=enc_block.dtype,
+        interpret=interpret, out_w=enc_block.shape[3],
+    )

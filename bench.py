@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from anatomix_tpu.extract import make_feature_extractor
-from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params, unet_apply
+from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
 from anatomix_tpu.extract import fold_batchnorm
 from anatomix_tpu.utils.benchtools import amortized_time, pipeline_time
 
@@ -51,15 +51,18 @@ def main():
     )
     t_sw = pipeline_time(extract_sw, vol256, n=1, reps=2)
 
-    # --- 128³ patch throughput -------------------------------------------------
+    # --- 128³ patch throughput (fused block-space Pallas path) ---------------
+    from anatomix_tpu.models.unet_fused import prepack_fused, unet_apply_fused
+
     fplan, fparams = fold_batchnorm(plan, params)
-    fparams = jax.tree_util.tree_map(jnp.asarray, fparams)
+    pf = prepack_fused(fplan, fparams, input_spatial=(128, 128, 128),
+                       compute_dtype=compute_dtype)
     x128 = jax.jit(
-        lambda k: jax.random.normal(k, (1, 128, 128, 128, 1), jnp.float32)
+        lambda k: jax.random.normal(k, (1, 128, 128, 128, 1), compute_dtype)
     )(jax.random.PRNGKey(2))
 
     def fwd(v):
-        return unet_apply(fplan, fparams, v, compute_dtype=compute_dtype)[
+        return unet_apply_fused(fplan, pf, v, compute_dtype=compute_dtype)[
             ..., :1
         ]
 
