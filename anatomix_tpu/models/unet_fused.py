@@ -52,6 +52,10 @@ from anatomix_tpu.ops.pallas.conv_block import (
     prepack_sparse,
     prepack_sparse_skip,
 )
+from anatomix_tpu.ops.pallas.reshuffle import (
+    depth_to_space as _d2s_pallas,
+    space_to_depth as _s2d_pallas,
+)
 from anatomix_tpu.ops.pool import avg_pool, max_pool
 from anatomix_tpu.ops.resize import upsample2x
 
@@ -180,6 +184,21 @@ def prepack_fused(plan: UnetPlan, params: dict[str, Any],
     return new_params
 
 
+def _s2d(x, interpret):
+    """Spatial -> block. Pallas reshuffle kernel (4 lane slices at HBM
+    bandwidth) except for the sub-lane-group channel counts where XLA's
+    transpose is no worse (the 1-ch entry volume)."""
+    if x.shape[-1] < 8:
+        return _space_to_depth(x)
+    return _s2d_pallas(x, interpret=interpret)
+
+
+def _d2s(y, interpret):
+    if y.shape[-1] // 8 < 8:
+        return _depth_to_space(y)
+    return _d2s_pallas(y, interpret=interpret)
+
+
 def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
     """Dense block-layout 3^3 conv (entry conv): edge-block halo, lane
     padding, VALID pallas conv."""
@@ -243,7 +262,7 @@ def unet_apply_fused(
                 in_block = True
             elif impl in ("sparse", "block_dense"):
                 if not in_block:
-                    feat = _space_to_depth(feat)
+                    feat = _s2d(feat, interpret)
                     in_block = True
                 if impl == "sparse":
                     feat = conv_block_sparse(
@@ -257,7 +276,7 @@ def unet_apply_fused(
                     )
             else:
                 if in_block:
-                    feat = _depth_to_space(feat)
+                    feat = _d2s(feat, interpret)
                     in_block = False
                 if packed is not None:  # 'direct'
                     feat = conv3x3_packed(
@@ -300,15 +319,15 @@ def unet_apply_fused(
             if nxt == "sparse_skip":
                 # the fused kernel consumes (encoder block, pre-upsample
                 # small) directly; nothing is materialized here
-                small = _depth_to_space(feat) if in_block else feat
+                small = _d2s(feat, interpret) if in_block else feat
                 enc, enc_block = enc_feats.pop()
                 if not enc_block:
-                    enc = _space_to_depth(enc)
+                    enc = _s2d(enc, interpret)
                 feat = ("skip_pair", enc, small)
                 in_block = True
             else:
                 if in_block:
-                    feat = _depth_to_space(feat)
+                    feat = _d2s(feat, interpret)
                     in_block = False
                 if nxt in ("sparse", "block_dense"):
                     # nearest x2 == block broadcast: channels tiled a-major
@@ -325,8 +344,8 @@ def unet_apply_fused(
                 enc, enc_block = enc_feats.pop()
                 if enc_block != in_block:
                     enc = (
-                        _space_to_depth(enc) if in_block
-                        else _depth_to_space(enc)
+                        _s2d(enc, interpret) if in_block
+                        else _d2s(enc, interpret)
                     )
                 if in_block:
                     B, d, h, w, c1 = enc.shape
@@ -344,5 +363,5 @@ def unet_apply_fused(
                 enc_feats.append((feat, in_block))
 
     if in_block:
-        feat = _depth_to_space(feat)
+        feat = _d2s(feat, interpret)
     return feat

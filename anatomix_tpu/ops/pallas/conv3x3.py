@@ -36,7 +36,7 @@ from anatomix_tpu.ops.pallas.conv_block import _apply_act
 
 
 def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
-                 cout, act="none"):
+                 cout, cin, act="none"):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -49,11 +49,12 @@ def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
     dma.wait()
     Wp = x_vmem.shape[2]
 
-    # K = 9·C: the (dz, dy) taps concatenated on the lane-aligned channel
-    # axis (slices on the leading, untiled dims are free).
+    # K = 9·C: the (dz, dy) taps concatenated on the channel axis, sliced
+    # back from the DMA-padded lane count to the true cin (the GEMM must
+    # not carry the zero rows — 16x FLOPs waste on the entry conv).
     xs_cat = jnp.concatenate(
         [
-            x_vmem[dz: dz + td, dy: dy + th]
+            x_vmem[dz: dz + td, dy: dy + th, :, :cin]
             for dz in range(3)
             for dy in range(3)
         ],
@@ -77,7 +78,7 @@ def _conv_kernel(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *, td, th, W,
 
 
 def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
-                           td, th, W, cout, act="none"):
+                           td, th, W, cout, cin, act="none"):
     """Interpreter-friendly variant (pltpu.roll unsupported off-TPU):
     same math via lax slices."""
     b = pl.program_id(0)
@@ -92,7 +93,7 @@ def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     dma.wait()
     xs_cat = jnp.concatenate(
         [
-            x_vmem[dz: dz + td, dy: dy + th]
+            x_vmem[dz: dz + td, dy: dy + th, :, :cin]
             for dz in range(3)
             for dy in range(3)
         ],
@@ -112,12 +113,15 @@ def _conv_kernel_interpret(x_hbm, w_ref, b_ref, out_ref, x_vmem, sem, *,
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _pick_tile(D, H, Wp, cin, cout, itemsize=2,
+def _pick_tile(D, H, Wp, cin, cout, cin_dma=None, itemsize=2,
                vmem_budget=11 * 2 ** 20):
-    """Largest (td, th) dividing (D, H) whose working set fits VMEM."""
+    """Largest (td, th) dividing (D, H) whose working set fits VMEM.
+    `cin` is the GEMM K channel count; `cin_dma` the (lane-padded) count
+    actually DMA'd."""
+    cin_dma = cin if cin_dma is None else cin_dma
 
     def cost(td, th):
-        x_tile = (td + 2) * (th + 2) * Wp * cin * itemsize
+        x_tile = (td + 2) * (th + 2) * Wp * cin_dma * itemsize
         xs_cat = td * th * Wp * 9 * cin * itemsize
         z = td * th * Wp * 3 * cout * 4
         out = td * th * (Wp - 8 if Wp % 8 == 0 else Wp - 2) * cout * itemsize
@@ -144,9 +148,10 @@ def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
     w_packed (9·Cin, 3·Cout) (dz,dy)-major K, dx-major N; bias (1, Cout).
     Batch is a grid dimension (vmap cannot batch pl.ANY manual-DMA
     inputs)."""
-    B, Dp, Hp, Wp0, cin = x_padded.shape
+    B, Dp, Hp, Wp0, cin_dma = x_padded.shape
     D, H, W = Dp - 2, Hp - 2, Wp0 - 2
     cout = w_packed.shape[-1] // 3
+    cin = w_packed.shape[0] // 9  # true GEMM K channels (≤ cin_dma)
 
     # Mosaic DMA slices need the sublane (W) dim 8-aligned.
     w_align = (-Wp0) % 8
@@ -156,10 +161,11 @@ def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
         )
     Wp = x_padded.shape[3]
 
-    td, th = _pick_tile(D, H, Wp, cin, cout,
+    td, th = _pick_tile(D, H, Wp, cin, cout, cin_dma=cin_dma,
                         itemsize=x_padded.dtype.itemsize)
     body = _conv_kernel_interpret if interpret else _conv_kernel
-    kernel = functools.partial(body, td=td, th=th, W=W, cout=cout, act=act)
+    kernel = functools.partial(body, td=td, th=th, W=W, cout=cout, cin=cin,
+                               act=act)
     flops = 2 * B * D * H * W * cin * cout * 27
     return pl.pallas_call(
         kernel,
@@ -175,7 +181,7 @@ def _conv3x3_valid(x_padded, w_packed, bias, *, out_dtype=jnp.bfloat16,
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, H, W, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((td + 2, th + 2, Wp, cin), x_padded.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp, cin_dma), x_padded.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -278,12 +284,12 @@ def prepack_conv(
     else:
         w_eff, b_eff = w, b
     c_out_eff = w_eff.shape[-1]
+    # cin_pad pads only the DMA'd tensor (minor dim % 128): the kernel
+    # slices the VMEM tile back, so the GEMM weights carry no zero K rows
     cin_pad = (-w_eff.shape[-2]) % 128 if not interpret else 0
     cout_pad = (-c_out_eff) % 128 if not interpret else 0
-    if cin_pad or cout_pad:
-        w_eff = np.pad(
-            w_eff, ((0, 0),) * 3 + ((0, cin_pad), (0, cout_pad))
-        )
+    if cout_pad:
+        w_eff = np.pad(w_eff, ((0, 0),) * 4 + ((0, cout_pad),))
         b_eff = np.pad(b_eff, (0, cout_pad))
     return {
         "w_packed": jnp.asarray(pack_weights(w_eff)).astype(compute_dtype),

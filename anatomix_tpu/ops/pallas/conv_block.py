@@ -72,33 +72,36 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
     # dims (and rolls only exist for 32-bit data), so the 64 (vd, vh, vw)
     # views are grouped by their w-axis block offset in {0, 1, 2} — each
     # group concatenates at ONE sublane offset and gets its own GEMM; the
-    # f32 accumulator sums the three partial products (same total FLOPs).
-    def group(vws):
+    # f32 accumulator sums the partial products (same total FLOPs). Each
+    # group is further chunked by vd (weight rows are vd-major, so chunks
+    # are plain row slices): the LHS concat materializes one vd-chunk at a
+    # time, cutting peak VMEM ~4x and letting _pick_tile choose tiles with
+    # ~4x fewer grid steps.
+    def chunk(vd, vws):
         views = []
-        for vd in (-1, 0, 1, 2):
-            for vh in (-1, 0, 1, 2):
-                for vw in vws:
-                    g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
-                    views.append(
-                        x_vmem[
-                            _OFF[vd]: _OFF[vd] + td,
-                            _OFF[vh]: _OFF[vh] + th,
-                            _OFF[vw]: _OFF[vw] + W,
-                            g: g + ci,
-                        ]
-                    )
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    x_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        _OFF[vw]: _OFF[vw] + W,
+                        g: g + ci,
+                    ]
+                )
         return jnp.concatenate(views, axis=-1)
 
     dn = (((3,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(
-        group((0, 1)), w1_ref[...], dn, preferred_element_type=jnp.float32
-    )
-    acc += jax.lax.dot_general(
-        group((-1,)), w0_ref[...], dn, preferred_element_type=jnp.float32
-    )
-    acc += jax.lax.dot_general(
-        group((2,)), w2_ref[...], dn, preferred_element_type=jnp.float32
-    )
+    acc = None
+    for w_ref, vws in ((w1_ref, (0, 1)), (w0_ref, (-1,)), (w2_ref, (2,))):
+        rows = 4 * len(vws) * ci
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            z = jax.lax.dot_general(
+                chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = z if acc is None else acc + z
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -141,12 +144,13 @@ def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=24 * 2 ** 20):
     """Largest (td, th) dividing (d, h) whose working set fits VMEM.
     Mosaic additionally materializes a relayout copy of the GEMM LHS and
     accumulator (measured: true usage ~ model + xs + z), hence the 2x
-    factors."""
+    factors. The LHS materializes one 8*ci-row vd-chunk at a time (kernel
+    loop); budget 2 live chunks x relayout."""
     w_bytes = 64 * ci * 8 * co * itemsize
 
     def cost(td, th):
         x_tile = (td + 2) * (th + 2) * Wp * 8 * ci * itemsize
-        xs = 2 * td * th * Wp * 64 * ci * itemsize
+        xs = 4 * td * th * Wp * 8 * ci * itemsize
         z = 2 * td * th * Wp * 8 * co * 4
         out = td * th * Wp * 8 * co * itemsize
         return 2 * (x_tile + out) + xs + z + w_bytes
@@ -323,40 +327,50 @@ def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
     dma_e.wait()
     dma_s.wait()
 
-    def group(vws, gw):
+    # encoder views chunked by vd (weight rows are vd-major row slices,
+    # see _kernel); the small (pre-upsample) tensor contributes one extra
+    # GEMM per w-offset group, with its VMEM tile sliced back from the
+    # DMA-padded lane count to the true c2 (the GEMM must not carry the
+    # zero rows — 2.37x FLOPs waste at the top decoder level)
+    def enc_chunk(vd, vws):
         views = []
-        for vd in (-1, 0, 1, 2):
-            for vh in (-1, 0, 1, 2):
-                for vw in vws:
-                    g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * c1
-                    views.append(
-                        enc_vmem[
-                            _OFF[vd]: _OFF[vd] + td,
-                            _OFF[vh]: _OFF[vh] + th,
-                            _OFF[vw]: _OFF[vw] + W,
-                            g: g + c1,
-                        ]
-                    )
-        for od in (0, 1, 2):
-            for oh in (0, 1, 2):
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * c1
                 views.append(
-                    sm_vmem[od: od + td, oh: oh + th, gw: gw + W, :]
+                    enc_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        _OFF[vw]: _OFF[vw] + W,
+                        g: g + c1,
+                    ]
                 )
         return jnp.concatenate(views, axis=-1)
 
+    def sm_group(gw):
+        views = [
+            sm_vmem[od: od + td, oh: oh + th, gw: gw + W, :c2]
+            for od in (0, 1, 2)
+            for oh in (0, 1, 2)
+        ]
+        return jnp.concatenate(views, axis=-1)
+
     dn = (((3,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(
-        group((0, 1), 1), w1_ref[...], dn,
-        preferred_element_type=jnp.float32,
-    )
-    acc += jax.lax.dot_general(
-        group((-1,), 0), w0_ref[...], dn,
-        preferred_element_type=jnp.float32,
-    )
-    acc += jax.lax.dot_general(
-        group((2,), 2), w2_ref[...], dn,
-        preferred_element_type=jnp.float32,
-    )
+    acc = None
+    for gw, (w_ref, vws) in enumerate(
+        ((w0_ref, (-1,)), (w1_ref, (0, 1)), (w2_ref, (2,)))
+    ):
+        rows = 4 * len(vws) * c1
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            z = jax.lax.dot_general(
+                enc_chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
+                preferred_element_type=jnp.float32,
+            )
+            acc = z if acc is None else acc + z
+        acc += jax.lax.dot_general(
+            sm_group(gw), w_ref[4 * rows:], dn,
+            preferred_element_type=jnp.float32,
+        )
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
     out_ref[0] = acc.astype(out_ref.dtype)
@@ -409,8 +423,10 @@ def prepack_sparse_skip(
         b, np.float32
     )
     c2 = cin - c1
+    # pad only the DMA'd tensor (minor dim % 128); the GEMM weights carry
+    # no zero rows — the kernel slices the VMEM tile back to c2 lanes
     c2_pad = (-c2) % 128
-    w0, w1, w2 = pack_sparse_skip_weights(w, c1, c2_pad)
+    w0, w1, w2 = pack_sparse_skip_weights(w, c1, c2_pad=0)
     return {
         "w0": jnp.asarray(w0).astype(compute_dtype),
         "w1": jnp.asarray(w1).astype(compute_dtype),
@@ -424,13 +440,16 @@ def prepack_sparse_skip(
     }
 
 
-def _pick_tile_skip(d, h, Wp, c1, c2, co, itemsize=2,
+def _pick_tile_skip(d, h, Wp, c1, c2, co, c2p=None, itemsize=2,
                     vmem_budget=24 * 2 ** 20):
+    c2p = c2 if c2p is None else c2p
     w_bytes = (64 * c1 + 27 * c2) * 8 * co * itemsize
 
     def cost(td, th):
-        tiles = (td + 2) * (th + 2) * Wp * (8 * c1 + c2) * itemsize
-        xs = 2 * td * th * Wp * (64 * c1 + 27 * c2) * itemsize
+        tiles = (td + 2) * (th + 2) * Wp * (8 * c1 + c2p) * itemsize
+        # LHS materializes one enc vd-chunk (8*c1 rows) or the sm group
+        # (9*c2 rows) at a time; 2 live x relayout copies
+        xs = td * th * Wp * (32 * c1 + 18 * c2) * itemsize
         z = 2 * td * th * Wp * 8 * co * 4
         out = td * th * Wp * 8 * co * itemsize
         return 2 * (tiles + out) + xs + z + w_bytes
@@ -464,7 +483,8 @@ def conv_block_skip_valid(
 ) -> jax.Array:
     B, dp, hp, wp0, c8 = enc_padded.shape
     c1 = c8 // 8
-    c2 = sm_padded.shape[-1]
+    c2p = sm_padded.shape[-1]          # DMA-padded lane count
+    c2 = (w1.shape[0] - 32 * c1) // 9  # true small-channel count (GEMM K)
     co8 = w1.shape[-1]
     d, h = dp - 2, hp - 2
     w = (wp0 - 2) if out_w is None else out_w
@@ -475,7 +495,8 @@ def conv_block_skip_valid(
     Wp = enc_padded.shape[3]
 
     td, th = _pick_tile_skip(
-        d, h, Wp, c1, c2, co8 // 8, itemsize=enc_padded.dtype.itemsize
+        d, h, Wp, c1, c2, co8 // 8, c2p=c2p,
+        itemsize=enc_padded.dtype.itemsize,
     )
     kernel = functools.partial(
         _kernel_skip, td=td, th=th, W=w, c1=c1, c2=c2, act=act,
@@ -500,7 +521,7 @@ def conv_block_skip_valid(
         out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((td + 2, th + 2, Wp, c8), enc_padded.dtype),
-            pltpu.VMEM((td + 2, th + 2, Wp, c2), sm_padded.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp, c2p), sm_padded.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
