@@ -103,6 +103,27 @@ def prepack_pallas(
     return new_params
 
 
+def partition_params(params):
+    """Split a (possibly Pallas-packed) param tree into its array leaves
+    and a `combine` fn that rebuilds the tree at trace time.
+
+    Arrays must travel as jit ARGUMENTS through the axon tunnel (closure
+    constants ship inside the remote-compile payload, and large models —
+    e.g. the packed 94M `anatomix-dev` — exceed its size limit), while the
+    packed metadata (python scalars/strings/sets) must stay static.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    is_arr = [isinstance(x, (jax.Array, np.ndarray)) for x in leaves]
+    arrays = [x for x, m in zip(leaves, is_arr) if m]
+
+    def combine(arr_list):
+        it = iter(arr_list)
+        merged = [next(it) if m else x for x, m in zip(leaves, is_arr)]
+        return jax.tree_util.tree_unflatten(treedef, merged)
+
+    return arrays, combine
+
+
 def minmax(arr: np.ndarray, minclip=None, maxclip=None) -> np.ndarray:
     """[0, 1] min-max normalization with optional clipping
     (`convex_adam_utils.py:134-156`)."""
@@ -201,7 +222,8 @@ def make_feature_extractor(
         on_tpu = jax.default_backend() not in ("cpu",)
         fusable = (
             supports_fusion(plan.config)
-            and (fold_bn or plan.config.norm == "none")
+            # batch norm must be folded; instance/none norms run live
+            and (fold_bn or plan.config.norm != "batch")
             and on_tpu
             and mesh is None  # sharded paths take the plain-params route
         )
@@ -221,8 +243,9 @@ def make_feature_extractor(
 
         if not supports_fusion(plan.config):
             raise ValueError(
-                "pallas_fused requires batch/none norm, nearest interp, "
-                "Max/Avg pool, reflect/zeros padding"
+                "pallas_fused requires batch/none/instance norm, "
+                "nearest/trilinear interp, Max/Avg pool, reflect/zeros "
+                "padding"
             )
         params = prepack_fused(
             plan, params, input_spatial=roi_size,
@@ -245,10 +268,9 @@ def make_feature_extractor(
             conv_impl=conv_impl,
         )
 
-    # pallas-packed params carry python-static metadata and must stay
-    # closure constants; plain XLA params travel as jit args (large models
-    # exceed the remote-compile payload limit as constants)
-    pass_as_arg = conv_impl == "xla"
+    # all array leaves travel as jit args (tunnel payload limit); packed
+    # python-static metadata stays in the closure via `combine`
+    arrays, combine = partition_params(params)
 
     if strategy == "full" and mesh is not None and "space" in getattr(
         mesh, "axis_names", ()
@@ -265,7 +287,8 @@ def make_feature_extractor(
         stride = 2 ** plan.config.num_downs
 
         @jax.jit
-        def extract_impl(volume, p):
+        def extract_impl(volume, arrs):
+            p = combine(arrs)
             spatial = volume.shape[1:4]
             pads = [(0, 0)]
             crops = []
@@ -281,17 +304,14 @@ def make_feature_extractor(
             (c0, c1), (c2, c3), (c4, c5) = crops
             return y[:, c0:c1, c2:c3, c4:c5, :]
 
-        if pass_as_arg:
-            return lambda volume: extract_impl(volume, params)
-        jitted = jax.jit(lambda volume: extract_impl.__wrapped__(
-            volume, params))
-        return jitted
+        return lambda volume: extract_impl(volume, arrays)
 
     if strategy != "sliding":
         raise ValueError(f"Unknown strategy: {strategy}")
 
     @jax.jit
-    def extract_sliding_impl(volume, p):
+    def extract_sliding_impl(volume, arrs):
+        p = combine(arrs)
         return sliding_window_inference(
             volume,
             lambda windows: window_fn(p, windows),
@@ -304,11 +324,7 @@ def make_feature_extractor(
             mesh=mesh,
         )
 
-    if pass_as_arg:
-        return lambda volume: extract_sliding_impl(volume, params)
-    return jax.jit(
-        lambda volume: extract_sliding_impl.__wrapped__(volume, params)
-    )
+    return lambda volume: extract_sliding_impl(volume, arrays)
 
 
 def extract_features(

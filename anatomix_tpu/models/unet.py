@@ -257,6 +257,23 @@ def param_count(params) -> int:
 # -----------------------------------------------------------------------------
 # Forward
 
+def _train_conv_eligible(cin: int, cout: int, spatial) -> bool:
+    """Per-conv policy for `conv_impl='pallas_train'` (the differentiable
+    sparse block kernel, `ops/pallas/conv_block_train.py`): even spatial,
+    lane-group channel counts, packed weights and the wgrad kernel's f32
+    accumulators must fit scoped VMEM."""
+    even = all(s % 2 == 0 for s in spatial)
+    sparse_w = 64 * cin * 8 * cout * 2
+    wgrad_acc = 64 * cin * 8 * cout * 4
+    return (
+        even
+        and cin >= 8
+        and cin % 8 == 0
+        and sparse_w <= 13 * 2 ** 20
+        and wgrad_acc <= 20 * 2 ** 20
+    )
+
+
 def unet_apply(
     plan: UnetPlan,
     params: dict[str, Any],
@@ -312,7 +329,23 @@ def unet_apply(
                     choose_impl(spec.in_ch, spec.out_ch, feat.shape[1:4])
                     != "xla"
                 )
-            if use_pallas:
+            if conv_impl == "pallas_train" and _train_conv_eligible(
+                spec.in_ch, spec.out_ch, feat.shape[1:4]
+            ):
+                from anatomix_tpu.ops.pallas.conv_block_train import (
+                    conv3x3_same_train,
+                )
+
+                cd = compute_dtype or jnp.bfloat16
+                feat = conv3x3_same_train(
+                    feat.astype(cd),
+                    p["w"],
+                    p.get("b", jnp.zeros((spec.out_ch,), jnp.float32)),
+                    pad_type=cfg.pad_type,
+                    compute_dtype=cd,
+                    interpret=jax.default_backend() == "cpu",
+                )
+            elif use_pallas:
                 from anatomix_tpu.ops.pallas.conv3x3 import (
                     conv3x3_packed,
                     conv3x3_same,

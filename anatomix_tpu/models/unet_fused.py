@@ -68,15 +68,22 @@ _SPARSE_W_BYTES_MAX = 13 * 2 ** 20
 
 
 def supports_fusion(cfg) -> bool:
+    """batch/none norms fold into the conv epilogues; instance norms stay
+    live as cheap XLA stats+normalize passes between Pallas convs (the
+    94M `anatomix-dev` config: instance norm, Avg pool, trilinear)."""
     return (
-        cfg.norm in ("batch", "none")
-        and cfg.interp == "nearest"
+        cfg.norm in ("batch", "none", "instance", "instance_affine")
+        and cfg.interp in ("nearest", "trilinear")
         and cfg.pad_type in ("reflect", "zeros")
         and cfg.pooling in ("Max", "Avg")
         and not cfg.residual_connection
         and cfg.activation in _EPILOGUE_ACTS
         and cfg.final_act in _EPILOGUE_ACTS
     )
+
+
+def _live_norm(cfg) -> bool:
+    return cfg.norm in ("instance", "instance_affine")
 
 
 def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
@@ -97,7 +104,8 @@ def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
         return "block_dense"
     if even and cin % 8 == 0 and sparse_w <= _SPARSE_W_BYTES_MAX:
         return "sparse"
-    if cin >= 64 and cout >= 64:
+    direct_w = 9 * -(-cin // 128) * 3 * -(-cout // 128) * 128 * 128 * 2
+    if cin >= 64 and cout >= 64 and direct_w <= 12 * 2 ** 20:
         return "direct"
     return "xla"
 
@@ -119,10 +127,13 @@ def _skip_c1(plan: UnetPlan, conv_idx: int) -> int:
 
 def _following_act(plan: UnetPlan, conv_idx: int):
     """Index and name of the act/final_act that consumes this conv's
-    output, skipping folded norms/identities; None if none."""
+    output, skipping folded norms/identities; None if none (including
+    when a live instance norm sits between conv and act — the act then
+    fuses into the norm's XLA pass instead of the conv epilogue)."""
+    live = _live_norm(plan.config)
     for j in range(conv_idx + 1, plan.num_layers):
         kind = plan.layers[j].kind
-        if kind in ("norm", "identity"):
+        if kind == "identity" or (kind == "norm" and not live):
             continue
         if kind == "act":
             return j, plan.config.activation
@@ -146,7 +157,9 @@ def prepack_fused(plan: UnetPlan, params: dict[str, Any],
     for idx, spec in enumerate(plan.layers):
         if spec.kind != "conv":
             continue
-        c1 = _skip_c1(plan, idx)
+        # the fused upsample+skip kernel's parity-summed small views
+        # encode NEAREST x2; trilinear decoders materialize the upsample
+        c1 = _skip_c1(plan, idx) if plan.config.interp == "nearest" else 0
         impl = choose_impl_v2(spec.in_ch, spec.out_ch, spatials[idx], c1)
         if impl == "xla":
             continue
@@ -217,6 +230,44 @@ def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
     return out
 
 
+def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
+                       act_fn=None):
+    """Instance norm on either layout; in block layout the per-channel
+    stats pool over spatial dims AND the 8 sub-position lane groups (the
+    lane-dim split reshape is free in XLA). The following activation, if
+    any, rides in the same elementwise pass."""
+    f32 = feat.astype(jnp.float32)
+    if in_block:
+        B, d, h, w, c8 = feat.shape
+        g = f32.reshape(B, d, h, w, 8, c8 // 8)
+        mean = jnp.mean(g, axis=(1, 2, 3, 4))
+        var = jnp.mean(
+            jnp.square(g - mean[:, None, None, None, None, :]),
+            axis=(1, 2, 3, 4),
+        )
+        mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
+        inv8 = jnp.tile(
+            jax.lax.rsqrt(var + eps), (1, 8)
+        )[:, None, None, None, :]
+        y = (f32 - mean8) * inv8
+        if scale is not None:
+            y = y * jnp.tile(scale.astype(jnp.float32), 8)
+        if bias is not None:
+            y = y + jnp.tile(bias.astype(jnp.float32), 8)
+    else:
+        mean = jnp.mean(f32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(f32 - mean), axis=(1, 2, 3),
+                       keepdims=True)
+        y = (f32 - mean) * jax.lax.rsqrt(var + eps)
+        if scale is not None:
+            y = y * scale.astype(jnp.float32)
+        if bias is not None:
+            y = y + bias.astype(jnp.float32)
+    if act_fn is not None:
+        y = act_fn(y)
+    return y.astype(feat.dtype)
+
+
 def unet_apply_fused(
     plan: UnetPlan,
     params: dict[str, Any],
@@ -226,7 +277,8 @@ def unet_apply_fused(
     interpret: bool = False,
 ) -> jax.Array:
     """Inference forward in whole-level block-space layout. Params must
-    come from `prepack_fused` on BN-folded weights."""
+    come from `prepack_fused` on BN-folded weights (batch norm) or raw
+    weights (live instance norms)."""
     cfg = plan.config
     if not supports_fusion(cfg):
         raise ValueError("config not supported by the fused path")
@@ -288,6 +340,13 @@ def unet_apply_fused(
                         feat, p["w"], p.get("b"), padding="SAME",
                         pad_type=cfg.pad_type, compute_dtype=compute_dtype,
                     )
+        elif spec.kind == "norm":
+            # live instance norm (batch norms are folded to 'identity')
+            feat = _instance_norm_any(
+                feat, in_block, eps=cfg.norm_eps,
+                scale=p.get("scale") if p else None,
+                bias=p.get("bias") if p else None,
+            )
         elif spec.kind == "act":
             if idx not in consumed:
                 feat = act(feat)
@@ -330,11 +389,17 @@ def unet_apply_fused(
                     feat = _d2s(feat, interpret)
                     in_block = False
                 if nxt in ("sparse", "block_dense"):
-                    # nearest x2 == block broadcast: channels tiled a-major
-                    feat = jnp.tile(feat, (1, 1, 1, 1, 8))
+                    if cfg.interp == "nearest":
+                        # nearest x2 == block broadcast: channels tiled
+                        # sub-position-major
+                        feat = jnp.tile(feat, (1, 1, 1, 1, 8))
+                    else:
+                        feat = _s2d(
+                            upsample2x(feat, cfg.interp), interpret
+                        )
                     in_block = True
                 else:
-                    feat = upsample2x(feat, "nearest")
+                    feat = upsample2x(feat, cfg.interp)
         # 'identity' (folded norm) falls through
 
         if cfg.use_skip_connection:

@@ -1,0 +1,391 @@
+"""Differentiable (custom-VJP) sparse block-space 3^3 conv for training.
+
+The inference kernels (`conv_block.py`) take host-prepacked numpy weights;
+training needs weights as traced arrays with gradients. This module:
+
+* packs weights IN-GRAPH (`pack_sparse_weights_jnp`) — the packing is a
+  pure gather of the 27 taps (per (view v, sub-position a) pair there is
+  exactly one valid tap k = v - a + 1), so its VJP (the scatter-add back
+  to DHWIO) comes from JAX for free;
+* defines `conv_block_sparse_train` with a custom VJP:
+    - dx is the SAME sparse kernel applied to the zero-padded upstream
+      gradient with flipped-transposed weights (the adjoint of a 'same'
+      conv), with the edge-halo (reflect) adjoint handled by the jnp pad's
+      own VJP — the custom boundary is the 'valid' kernel;
+    - dw runs a dedicated wgrad kernel (`_kernel_wgrad`): the same 64-view
+      LHS assembly contracted against the upstream gradient over ALL
+      spatial positions, accumulated in VMEM f32 across the whole grid;
+    - the activation epilogue's gradient is recovered from the OUTPUT
+      (relu/lrelu/elu/tanh are invertible enough: act'(pre) is a function
+      of act(pre)), so no pre-activation residual is stored;
+* exposes `space_to_depth_vjp` / `depth_to_space_vjp` — the reshuffle
+  kernels are permutations, so each is the other's adjoint.
+
+Reference semantics: `anatomix/model/network.py:13-124` ConvBlock
+(conv3d 'same' + activation) under autograd.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from anatomix_tpu.ops.pallas.conv_block import (
+    _OFF,
+    _PAR,
+    _VMEM_LIMIT,
+    conv_block_sparse_valid,
+)
+from anatomix_tpu.ops.pallas.reshuffle import depth_to_space, space_to_depth
+
+_GROUP_VWS = ((-1,), (0, 1), (2,))
+
+
+@functools.cache
+def _view_tap_index(vws: tuple[int, ...]) -> np.ndarray:
+    """(n_views, 8) tap index (kd*9+kh*3+kw) per (view, sub-position a),
+    27 = the zero tap. View order (vd, vh, vw)-major matches the packer
+    and kernel."""
+    views = [
+        (vd, vh, vw)
+        for vd in (-1, 0, 1, 2)
+        for vh in (-1, 0, 1, 2)
+        for vw in vws
+    ]
+    out = np.full((len(views), 8), 27, np.int32)
+    for n, (vd, vh, vw) in enumerate(views):
+        for ad in range(2):
+            for ah in range(2):
+                for aw in range(2):
+                    kd, kh, kw = vd - ad + 1, vh - ah + 1, vw - aw + 1
+                    if all(0 <= k <= 2 for k in (kd, kh, kw)):
+                        out[n, (ad * 2 + ah) * 2 + aw] = kd * 9 + kh * 3 + kw
+    return out
+
+
+def pack_sparse_weights_jnp(w: jax.Array):
+    """DHWIO (3,3,3,Ci,Co) -> (w0, w1, w2) GEMM weights as traced arrays
+    (row/col order identical to `pack_sparse_block_weights`)."""
+    ci, co = w.shape[3], w.shape[4]
+    wf = jnp.concatenate(
+        [w.reshape(27, ci, co), jnp.zeros((1, ci, co), w.dtype)]
+    )
+    out = []
+    for vws in _GROUP_VWS:
+        idx = _view_tap_index(vws)
+        g = wf[idx.reshape(-1)].reshape(idx.shape[0], 8, ci, co)
+        g = jnp.transpose(g, (0, 2, 1, 3)).reshape(-1, 8 * co)
+        out.append(g)
+    return tuple(out)
+
+
+def _act_grad_from_y(y: jax.Array, act: str) -> jax.Array:
+    """act'(pre) recovered from y = act(pre) (f32)."""
+    y = y.astype(jnp.float32)
+    if act == "none":
+        return jnp.ones_like(y)
+    if act == "relu":
+        return (y > 0).astype(jnp.float32)
+    if act == "lrelu":
+        return jnp.where(y > 0, 1.0, 0.2)
+    if act == "elu":
+        return jnp.where(y > 0, 1.0, y + 1.0)
+    if act == "tanh":
+        return 1.0 - jnp.square(y)
+    raise ValueError(f"unsupported act: {act}")
+
+
+# -----------------------------------------------------------------------------
+# wgrad kernel: dW_packed[g] = sum_tiles xs_g^T @ dy
+
+
+def _kernel_wgrad(x_hbm, dy_ref, w0_ref, w1_ref, w2_ref, x_vmem, sem, *,
+                  td, th, W, ci, interpret):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_vmem,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    first = (b == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        w0_ref[...] = jnp.zeros_like(w0_ref)
+        w1_ref[...] = jnp.zeros_like(w1_ref)
+        w2_ref[...] = jnp.zeros_like(w2_ref)
+
+    dy = dy_ref[0]
+
+    def chunk(vd, vws):
+        views = []
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    x_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        _OFF[vw]: _OFF[vw] + W,
+                        g: g + ci,
+                    ]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    # contract over all spatial dims: (td, th, W, K)^T @ (td, th, W, 8Co)
+    dn = (((0, 1, 2), (0, 1, 2)), ((), ()))
+    for w_ref, vws in ((w0_ref, (-1,)), (w1_ref, (0, 1)), (w2_ref, (2,))):
+        rows = 4 * len(vws) * ci
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            part = jax.lax.dot_general(
+                chunk(vd, vws), dy, dn, preferred_element_type=jnp.float32
+            )
+            w_ref[n * rows: (n + 1) * rows] += part
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ci", "interpret", "out_w")
+)
+def _wgrad(x_block_padded, dy_block, *, ci, interpret=False, out_w=None):
+    """dW_packed groups for the sparse conv: x (B, d+2, h+2, w+2(+align),
+    8Ci) halo'd as in the forward; dy (B, d, h, w, 8Co)."""
+    B, dp, hp, wp0, _ = x_block_padded.shape
+    d, h = dp - 2, hp - 2
+    w = dy_block.shape[3]
+    co8 = dy_block.shape[-1]
+    if wp0 % 8:
+        x_block_padded = jnp.pad(
+            x_block_padded, ((0, 0),) * 3 + ((0, (-wp0) % 8), (0, 0))
+        )
+    Wp = x_block_padded.shape[3]
+
+    # tiles kept deliberately small: the resident f32 dW accumulators own
+    # most of the VMEM budget
+    acc_bytes = 64 * ci * co8 * 4
+
+    def fits(td, th):
+        return (
+            td * th * Wp * (8 * ci * 2 * 3 + co8 * 2) + acc_bytes
+            <= 30 * 2 ** 20
+        )
+
+    td, th = 1, 1
+    for cand_td in (8, 4, 2, 1):
+        if d % cand_td:
+            continue
+        for cand_th in (8, 4, 2, 1):
+            if h % cand_th:
+                continue
+            if fits(cand_td, cand_th) and cand_td * cand_th > td * th:
+                td, th = cand_td, cand_th
+
+    kernel = functools.partial(
+        _kernel_wgrad, td=td, th=th, W=w, ci=ci, interpret=interpret
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (16 * ci, co8), lambda b, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (32 * ci, co8), lambda b, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (16 * ci, co8), lambda b, i, j: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((16 * ci, co8), jnp.float32),
+            jax.ShapeDtypeStruct((32 * ci, co8), jnp.float32),
+            jax.ShapeDtypeStruct((16 * ci, co8), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * ci), x_block_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * d * h * w * 64 * ci * co8,
+            bytes_accessed=x_block_padded.nbytes + dy_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(x_block_padded, dy_block)
+
+
+# -----------------------------------------------------------------------------
+# differentiable op
+
+
+def _halo_pad(x_block, pad_type, extra=0):
+    mode = "edge" if pad_type == "reflect" else "constant"
+    k = 1 + extra
+    align = (-(x_block.shape[3] + 2 * k)) % 8
+    return jnp.pad(
+        x_block,
+        ((0, 0), (k, k), (k, k), (k, k + align), (0, 0)),
+        mode=mode,
+    )
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6)
+)
+def conv_block_sparse_train(
+    x_block: jax.Array,   # (B, d, h, w, 8*Ci) block layout
+    w: jax.Array,         # DHWIO (3, 3, 3, Ci, Co) traced
+    b: jax.Array,         # (Co,)
+    act: str = "none",
+    pad_type: str = "zeros",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """'Same'-padded sparse block conv + bias + act, differentiable wrt
+    (x_block, w, b). Returns (B, d, h, w, 8*Co) in x_block's dtype."""
+    y, _ = _fwd(x_block, w, b, act, pad_type, compute_dtype, interpret)
+    return y
+
+
+def _fwd(x_block, w, b, act, pad_type, compute_dtype, interpret):
+    w0, w1, w2 = pack_sparse_weights_jnp(w.astype(compute_dtype))
+    b8 = jnp.tile(b.astype(jnp.float32), 8)[None]
+    xp = _halo_pad(x_block, pad_type)
+    y = conv_block_sparse_valid(
+        xp, w0, w1, w2, b8, act=act, out_dtype=x_block.dtype,
+        interpret=interpret, out_w=x_block.shape[3],
+    )
+    return y, (x_block, w, b, y)
+
+
+def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
+    x_block, w, b, y = res
+    ci, co = w.shape[3], w.shape[4]
+    d, h, wd = x_block.shape[1:4]
+
+    dpre = (dy.astype(jnp.float32) * _act_grad_from_y(y, act)).astype(
+        dy.dtype
+    )
+
+    # dbias: sum over batch/space, fold the 8 sub-position groups
+    db = jnp.sum(dpre.astype(jnp.float32), axis=(0, 1, 2, 3))
+    db = db.reshape(8, co).sum(0)
+
+    # dx: 'valid' conv of the 2-zero-padded gradient with the flipped-
+    # transposed weights, on a halo-extended extent; the adjoint of the
+    # forward's own halo pad (edge for reflect, zero crop otherwise) is
+    # jnp.pad's VJP, applied via jax.vjp for exactness.
+    wflip = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
+    f0, f1, f2 = pack_sparse_weights_jnp(wflip.astype(compute_dtype))
+    zb8 = jnp.zeros((1, 8 * ci), jnp.float32)
+    align2 = (-(wd + 4)) % 8
+    dpre_p = jnp.pad(
+        dpre, ((0, 0), (2, 2), (2, 2), (2, 2 + align2), (0, 0))
+    )
+    dx_ext = conv_block_sparse_valid(
+        dpre_p, f0, f1, f2, zb8, act="none", out_dtype=jnp.float32,
+        interpret=interpret, out_w=wd + 2,
+    )  # (B, d+2, h+2, w+2, 8Ci): gradient wrt the halo-padded forward input
+    _, pad_vjp = jax.vjp(lambda v: _halo_pad(v, pad_type), x_block)
+    # _halo_pad also adds the w alignment tail; extend dx_ext to match
+    tail = _halo_pad(x_block, pad_type).shape[3] - dx_ext.shape[3]
+    if tail:
+        dx_ext = jnp.pad(dx_ext, ((0, 0),) * 3 + ((0, tail), (0, 0)))
+    (dx,) = pad_vjp(dx_ext.astype(x_block.dtype))
+
+    # dw: packed-space gradients contracted by the wgrad kernel, pulled
+    # back through the (linear) jnp packer
+    xp = _halo_pad(x_block, pad_type)
+    dW0, dW1, dW2 = _wgrad(
+        xp, dpre, ci=ci, interpret=interpret, out_w=wd
+    )
+    _, pack_vjp = jax.vjp(
+        lambda v: pack_sparse_weights_jnp(v.astype(compute_dtype)), w
+    )
+    (dw,) = pack_vjp(
+        (dW0.astype(compute_dtype), dW1.astype(compute_dtype),
+         dW2.astype(compute_dtype))
+    )
+
+    return dx, dw.astype(w.dtype), db.astype(b.dtype)
+
+
+conv_block_sparse_train.defvjp(_fwd, _bwd)
+
+
+# -----------------------------------------------------------------------------
+# differentiable reshuffles (pure permutations: each is the other's adjoint)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def space_to_depth_vjp(x, interpret=False):
+    return space_to_depth(x, interpret=interpret)
+
+
+def _s2d_fwd(x, interpret):
+    return space_to_depth(x, interpret=interpret), None
+
+
+def _s2d_bwd(interpret, _, dy):
+    return (depth_to_space(dy, interpret=interpret),)
+
+
+space_to_depth_vjp.defvjp(_s2d_fwd, _s2d_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def depth_to_space_vjp(y, interpret=False):
+    return depth_to_space(y, interpret=interpret)
+
+
+def _d2s_fwd(y, interpret):
+    return depth_to_space(y, interpret=interpret), None
+
+
+def _d2s_bwd(interpret, _, dx):
+    return (space_to_depth(dx, interpret=interpret),)
+
+
+depth_to_space_vjp.defvjp(_d2s_fwd, _d2s_bwd)
+
+
+def conv3x3_same_train(
+    x: jax.Array,  # (B, D, H, W, Ci) normal layout, even spatial
+    w: jax.Array,
+    b: jax.Array,
+    *,
+    act: str = "none",
+    pad_type: str = "zeros",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Normal-layout differentiable fused conv(+act): s2d -> sparse kernel
+    -> d2s (reshuffles at HBM bandwidth via `reshuffle.py`)."""
+    xb = space_to_depth_vjp(x, interpret)
+    yb = conv_block_sparse_train(
+        xb, w, b, act, pad_type, compute_dtype, interpret
+    )
+    return depth_to_space_vjp(yb, interpret)

@@ -29,7 +29,7 @@ from anatomix_tpu.models.unet import UnetPlan, init_params, unet_apply
 
 
 def _backbone_forward(plan, params_g, x, tap_layers, train, compute_dtype,
-                      bn_axis_name, eval_norm_layers=()):
+                      bn_axis_name, eval_norm_layers=(), conv_impl="xla"):
     """Dispatch UNet vs Primus backbones.
 
     Primus forces a single tap on the final feature map (logged as layer -1,
@@ -39,12 +39,12 @@ def _backbone_forward(plan, params_g, x, tap_layers, train, compute_dtype,
             _, taps, new_stats = unet_apply(
                 plan, params_g, x, layers=tap_layers, train=True,
                 compute_dtype=compute_dtype, bn_axis_name=bn_axis_name,
-                eval_norm_layers=eval_norm_layers,
+                eval_norm_layers=eval_norm_layers, conv_impl=conv_impl,
             )
             return taps, new_stats
         _, taps = unet_apply(
             plan, params_g, x, layers=tap_layers,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, conv_impl=conv_impl,
         )
         return taps, {}
     # PrimusConfig: single-scale NCE on the decoded volume
@@ -231,6 +231,7 @@ def nce_forward(
     compute_dtype=None,
     bn_axis_name: str | None = None,
     eval_norm_layers: Sequence[int] = (),
+    conv_impl: str = "xla",
 ):
     """Compute the multi-tap SupPatchNCE loss.
 
@@ -243,7 +244,7 @@ def nce_forward(
 
     taps, new_g_stats = _backbone_forward(
         plan, params_g, x, tap_layers, train, compute_dtype, bn_axis_name,
-        eval_norm_layers=eval_norm_layers,
+        eval_norm_layers=eval_norm_layers, conv_impl=conv_impl,
     )
 
     if nce_weights is None:
@@ -334,6 +335,7 @@ def build_train_step(
     mesh=None,
     donate: bool = True,
     frozen_layers: Sequence[int] = (),
+    conv_impl: str = "xla",
 ):
     """Build the jitted train step `(state, views, segs, rng) -> (state,
     metrics)`.
@@ -366,6 +368,7 @@ def build_train_step(
                 nce_weights=nce_weights, train=True,
                 compute_dtype=compute_dtype,
                 eval_norm_layers=eval_norms,
+                conv_impl=conv_impl,
             )
 
         (loss, aux), grads = jax.value_and_grad(

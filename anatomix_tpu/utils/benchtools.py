@@ -43,29 +43,34 @@ def dispatch_floor(refresh: bool = False) -> float:
     return _DISPATCH_FLOOR
 
 
-def amortized_time(f, x, *, n: int = 10, reps: int = 3) -> float:
+def amortized_time(f, x, *, n: int = 10, reps: int = 3, args=()) -> float:
     """Median per-application seconds of `x -> f(x)` chained n times,
-    with the tunnel's fixed dispatch cost subtracted."""
+    with the tunnel's fixed dispatch cost subtracted.
 
-    def many(v):
+    Large model params must go through `args` (passed as `f(acc, *args)`)
+    rather than f's closure: closure constants ship inside the tunnel's
+    remote-compile payload, which has a hard size limit (HTTP 413 for the
+    94M dev model)."""
+
+    def many(v, *a):
         def body(_, acc):
-            return f(acc) * 0.999  # tiny perturbation prevents CSE/hoisting
+            return f(acc, *a) * 0.999  # perturbation prevents CSE/hoisting
         out = jax.lax.fori_loop(0, n, body, v)
         return jnp.sum(out.astype(jnp.float32))
 
     floor = dispatch_floor()
     m = jax.jit(many)
-    float(m(x))  # compile + warm
+    float(m(x, *args))  # compile + warm
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(m(x))
+        float(m(x, *args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return max(times[len(times) // 2] - floor, 1e-9) / n
 
 
-def movement_time(f, x, *, n: int = 8, reps: int = 3) -> float:
+def movement_time(f, x, *, n: int = 8, reps: int = 3, args=()) -> float:
     """Per-call seconds for a DATA-MOVEMENT op (transpose/reshape/copy).
 
     `pipeline_time`'s `jnp.sum(f(x))` probe is wrong for these: XLA fuses
@@ -74,10 +79,10 @@ def movement_time(f, x, *, n: int = 8, reps: int = 3) -> float:
     ~14 ms). `lax.optimization_barrier` around the output forces
     materialization inside the chained loop."""
 
-    def many(v):
+    def many(v, *a):
         def body(_, carry):
             v, acc = carry
-            out = jax.lax.optimization_barrier(f(v))
+            out = jax.lax.optimization_barrier(f(v, *a))
             probe = jnp.asarray(out)
             idx = (0,) * probe.ndim
             return (v * 0.9999, acc + probe[idx].astype(jnp.float32))
@@ -86,37 +91,37 @@ def movement_time(f, x, *, n: int = 8, reps: int = 3) -> float:
 
     floor = dispatch_floor()
     m = jax.jit(many)
-    float(m(x))
+    float(m(x, *args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(m(x))
+        float(m(x, *args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return max(times[len(times) // 2] - floor, 1e-9) / n
 
 
-def pipeline_time(f, x, *, n: int = 5, reps: int = 3) -> float:
+def pipeline_time(f, x, *, n: int = 5, reps: int = 3, args=()) -> float:
     """Per-call seconds for a function whose output shape differs from its
     input (e.g. sliding-window extraction): run it n times on perturbed
     inputs inside one jit. Consumes the FULL output (a [:1] probe lets XLA
     shrink the computation — PERF.md trap #1); subtracts the tunnel floor."""
 
-    def many(v):
+    def many(v, *a):
         def body(_, carry):
             v, acc = carry
-            out = f(v)
+            out = f(v, *a)
             return (v * 0.9999, acc + jnp.sum(out.astype(jnp.float32)))
         _, acc = jax.lax.fori_loop(0, n, body, (v, jnp.zeros(())))
         return acc
 
     floor = dispatch_floor()
     m = jax.jit(many)
-    float(m(x))
+    float(m(x, *args))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(m(x))
+        float(m(x, *args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return max(times[len(times) // 2] - floor, 1e-9) / n

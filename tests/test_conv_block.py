@@ -187,3 +187,39 @@ def test_unet_fused_v2_matches_xla(rng):
         )
     ).astype(np.float32)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
+
+
+def test_unet_fused_instance_norm_matches_xla(rng):
+    """Fused path with LIVE instance norms + trilinear decoder (the
+    anatomix-dev config family) vs the XLA UNet."""
+    from anatomix_tpu.models.unet import (
+        UnetConfig, build_plan, init_params, unet_apply,
+    )
+    from anatomix_tpu.models.unet_fused import (
+        prepack_fused, supports_fusion, unet_apply_fused,
+    )
+
+    cfg = UnetConfig(
+        dimension=3, input_nc=1, output_nc=8, num_downs=2, ngf=8,
+        norm="instance", pooling="Avg", interp="trilinear",
+        norm_eps=1e-2,
+    )
+    assert supports_fusion(cfg)
+    plan = build_plan(cfg)
+    params = init_params(plan, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 16, 1),
+                          jnp.float32)
+    ref = np.asarray(
+        unet_apply(plan, params, x, compute_dtype=jnp.float32)
+    ).astype(np.float32)
+    pf = prepack_fused(
+        plan, params, input_spatial=(16, 16, 16),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    got = np.asarray(
+        unet_apply_fused(
+            plan, pf, x, compute_dtype=jnp.float32, interpret=True
+        )
+    ).astype(np.float32)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
