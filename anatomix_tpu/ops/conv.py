@@ -92,6 +92,10 @@ def conv3d(
     if precision is None and x.dtype == jnp.float32:
         precision = jax.lax.Precision.HIGHEST
 
+    # f32 accumulation is requested only for f32 inputs: with bf16 inputs a
+    # f32 preferred_element_type breaks the conv transpose rule (the f32
+    # cotangent mismatches the bf16 operand under jax.grad); the MXU still
+    # accumulates bf16 convs in f32 internally before the output rounding.
     y = jax.lax.conv_general_dilated(
         x,
         w,
@@ -100,7 +104,9 @@ def conv3d(
         rhs_dilation=dilation,
         dimension_numbers=_DIMNUMS,
         precision=precision,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=(
+            jnp.float32 if x.dtype == jnp.float32 else None
+        ),
     )
     y = y.astype(out_dtype)
     if b is not None:

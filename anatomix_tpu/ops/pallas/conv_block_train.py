@@ -142,13 +142,18 @@ def _kernel_wgrad(x_hbm, dy_ref, w0_ref, w1_ref, w2_ref, x_vmem, sem, *,
                 )
         return jnp.concatenate(views, axis=-1)
 
-    # contract over all spatial dims: (td, th, W, K)^T @ (td, th, W, 8Co)
-    dn = (((0, 1, 2), (0, 1, 2)), ((), ()))
+    # contract over all spatial positions: Mosaic's matmul wants a single
+    # contracting dim, so flatten (td, th, W) -> M (leading-dim merge is
+    # relayout-free) and contract dim 0 of both sides
+    M = td * th * W
+    dy2 = dy.reshape(M, dy.shape[-1])
+    dn = (((0,), (0,)), ((), ()))
     for w_ref, vws in ((w0_ref, (-1,)), (w1_ref, (0, 1)), (w2_ref, (2,))):
         rows = 4 * len(vws) * ci
         for n, vd in enumerate((-1, 0, 1, 2)):
             part = jax.lax.dot_general(
-                chunk(vd, vws), dy, dn, preferred_element_type=jnp.float32
+                chunk(vd, vws).reshape(M, rows), dy2, dn,
+                preferred_element_type=jnp.float32,
             )
             w_ref[n * rows: (n + 1) * rows] += part
 
@@ -174,9 +179,11 @@ def _wgrad(x_block_padded, dy_block, *, ci, interpret=False, out_w=None):
     acc_bytes = 64 * ci * co8 * 4
 
     def fits(td, th):
+        # the x5 factor covers Mosaic's relayout copies of the per-chunk
+        # concat + (M, K) flatten (measured ~5x the nominal tile bytes)
         return (
-            td * th * Wp * (8 * ci * 2 * 3 + co8 * 2) + acc_bytes
-            <= 30 * 2 ** 20
+            5 * td * th * Wp * (8 * ci * 2 * 3 + co8 * 2) + acc_bytes
+            <= 40 * 2 ** 20
         )
 
     td, th = 1, 1
@@ -231,7 +238,7 @@ def _wgrad(x_block_padded, dy_block, *, ci, interpret=False, out_w=None):
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
+            vmem_limit_bytes=64 * 2 ** 20
         ),
         interpret=interpret,
     )(x_block_padded, dy_block)

@@ -335,7 +335,7 @@ def build_train_step(
     mesh=None,
     donate: bool = True,
     frozen_layers: Sequence[int] = (),
-    conv_impl: str = "xla",
+    conv_impl: str = "auto",
 ):
     """Build the jitted train step `(state, views, segs, rng) -> (state,
     metrics)`.
@@ -343,6 +343,14 @@ def build_train_step(
     With `mesh`, inputs are expected sharded over the 'data' axis and params
     replicated; the grad all-reduce compiles onto ICI automatically.
     """
+    if conv_impl == "auto":
+        # differentiable Pallas sparse convs on TPU (1.85x step speedup at
+        # the reference 128-cube config); XLA on CPU/interpret backends
+        conv_impl = (
+            "pallas_train"
+            if jax.default_backend() not in ("cpu",)
+            else "xla"
+        )
     nce = NCEOptions(
         temperature=nce_temperature,
         lambda_nce=lambda_nce,
