@@ -17,8 +17,19 @@ does not reliably block and every dispatch costs a ~28 ms round trip.
 """
 
 import json
+import os
 
 import jax
+
+# persistent compile cache: the axon tunnel recompiles everything per
+# process (~20 min cold for the full bench); the cache cuts warm runs to
+# a few minutes and survives across driver invocations
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from anatomix_tpu.extract import make_feature_extractor
