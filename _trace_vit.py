@@ -1,0 +1,38 @@
+import glob, gzip, json, collections
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+from anatomix_tpu.models.vit3d import PrimusConfig, primus_apply, init_primus_params
+from anatomix_tpu.extract import partition_params
+
+cfg = PrimusConfig(embed_dim=396, eva_depth=12, eva_numheads=6,
+                   patch_embed_size=(8,8,8), input_shape=(128,128,128),
+                   num_register_tokens=8, qk_norm=True, num_classes=32,
+                   out_norm="demean", out_norm_eps=1e-2)
+params = init_primus_params(cfg, jax.random.PRNGKey(0))
+arrs, combine = partition_params(jax.tree_util.tree_map(jnp.asarray, params))
+x = jax.jit(lambda k: jax.random.normal(k, (1,128,128,128,1), jnp.bfloat16))(jax.random.PRNGKey(1))
+f = jax.jit(lambda v, a: primus_apply(cfg, combine(a), v, compute_dtype=jnp.bfloat16))
+y = f(x, arrs); print(float(jnp.sum(y.astype(jnp.float32))))
+import shutil; shutil.rmtree("/tmp/trace_vit", ignore_errors=True)
+with jax.profiler.trace("/tmp/trace_vit"):
+    for _ in range(2):
+        y = f(x, arrs)
+    print(float(jnp.sum(y.astype(jnp.float32))))
+path = glob.glob("/tmp/trace_vit/plugins/profile/*/*.trace.json.gz")[0]
+with gzip.open(path, "rt") as fh:
+    data = json.load(fh)
+events = [e for e in data["traceEvents"] if e.get("ph") == "X"]
+by = collections.Counter()
+for e in events:
+    by[e.get("name","")] += e.get("dur", 0)
+for name, dur in by.most_common(28):
+    if name.startswith("$") or "asarray" in name or "trace" in name: continue
+    print(f"{dur/2/1000:8.3f} ms  {name[:100]}")
+
+txt = f.lower(x, arrs).compile().as_text()
+import re
+for target in ("fusion.1142", "fusion.68", "fusion.62", "copy.391", "fusion.92", "copy.277"):
+    for line in txt.splitlines():
+        s = line.strip()
+        if s.startswith(f"%{target} ") or s.startswith(f"{target} "):
+            print(s[:260]); break

@@ -240,11 +240,10 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
     if in_block:
         B, d, h, w, c8 = feat.shape
         g = f32.reshape(B, d, h, w, 8, c8 // 8)
+        # one-pass moment statistics (see ops/norms.instance_norm)
         mean = jnp.mean(g, axis=(1, 2, 3, 4))
-        var = jnp.mean(
-            jnp.square(g - mean[:, None, None, None, None, :]),
-            axis=(1, 2, 3, 4),
-        )
+        m2 = jnp.mean(jnp.square(g), axis=(1, 2, 3, 4))
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
         mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
         inv8 = jnp.tile(
             jax.lax.rsqrt(var + eps), (1, 8)

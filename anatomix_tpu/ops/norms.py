@@ -34,13 +34,18 @@ def instance_norm(
     all-reduced over that mesh axis (spatially sharded volumes; shards must
     be equal-sized).
     """
+    # one-pass E[x²]−E[x]² statistics: the (x − mean)² form has two uses
+    # of a full-size f32 intermediate, which XLA materializes to HBM (a
+    # ~2.7 ms copy per norm at 128³×32ch); the moment form keeps the only
+    # full-size pass inside the final normalize fusion. f32 moments are
+    # ample for unit-scale activations.
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+    m2 = jnp.mean(jnp.square(x32), axis=(1, 2, 3), keepdims=True)
     if axis_name is not None:
         mean = jax.lax.pmean(mean, axis_name)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
-    if axis_name is not None:
-        var = jax.lax.pmean(var, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+    var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32)
