@@ -1,4 +1,6 @@
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params, unet_apply
 from anatomix_tpu.models.unet_fused import prepack_fused, unet_apply_fused
 from anatomix_tpu.extract import partition_params

@@ -56,6 +56,41 @@ def _interp_axis(x, axis, idx0, idx1, frac):
     return a.astype(jnp.float32) * (1 - f) + b.astype(jnp.float32) * f
 
 
+def _shift_lo(x, axis):
+    """x[i-1] with edge clamp along `axis`."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    rest = jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)
+    return jnp.concatenate([first, rest], axis=axis)
+
+
+def _shift_hi(x, axis):
+    """x[i+1] with edge clamp along `axis`."""
+    rest = jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis)
+    last = jax.lax.slice_in_dim(
+        x, x.shape[axis] - 1, x.shape[axis], axis=axis
+    )
+    return jnp.concatenate([rest, last], axis=axis)
+
+
+def _interleave2(even, odd, axis):
+    y = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(even.shape)
+    shape[axis] *= 2
+    return y.reshape(shape)
+
+
+def _upsample2x_linear_axis(x, axis):
+    """Exact x2 linear upsample, torch align_corners=False:
+    out[2i] = 0.75*x[i] + 0.25*x[i-1]; out[2i+1] = 0.75*x[i] + 0.25*x[i+1]
+    (edge-clamped). Shift + interleave only — `jnp.take` along a non-minor
+    spatial axis lowers to a while-loop of dynamic slices (~13 ms per axis
+    at 128-cube/32ch; this form is a few fused elementwise passes)."""
+    f32 = x.astype(jnp.float32)
+    even = 0.75 * f32 + 0.25 * _shift_lo(f32, axis)
+    odd = 0.75 * f32 + 0.25 * _shift_hi(f32, axis)
+    return _interleave2(even, odd, axis).astype(x.dtype)
+
+
 def resize3d(
     x: jax.Array,
     size: tuple[int, int, int],
@@ -67,7 +102,15 @@ def resize3d(
     in_sizes = x.shape[1:4]
     if tuple(size) == tuple(in_sizes):
         return x
+    exact_2x = all(
+        o == 2 * i or o == i for o, i in zip(size, in_sizes)
+    )
     if mode == "nearest":
+        if exact_2x:
+            for axis, (o, i) in enumerate(zip(size, in_sizes)):
+                if o != i:
+                    x = jnp.repeat(x, 2, axis=axis + 1)
+            return x
         for axis, (o, i) in enumerate(zip(size, in_sizes)):
             if o != i:
                 x = jnp.take(
@@ -75,6 +118,12 @@ def resize3d(
                 )
         return x
     if mode == "trilinear":
+        if exact_2x and not align_corners:
+            y = x
+            for axis, (o, i) in enumerate(zip(size, in_sizes)):
+                if o != i:
+                    y = _upsample2x_linear_axis(y, axis + 1)
+            return y
         dtype = x.dtype
         y = x
         for axis, (o, i) in enumerate(zip(size, in_sizes)):
