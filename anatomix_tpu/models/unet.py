@@ -267,8 +267,9 @@ def _train_conv_eligible(cin: int, cout: int, spatial) -> bool:
     wgrad_acc = 64 * cin * 8 * cout * 4
     return (
         even
-        and cin >= 8
-        and cin % 8 == 0
+        # manual Mosaic DMA needs the block lane dim (8*cin) 128-aligned
+        and cin % 16 == 0
+        and cin >= 16
         and sparse_w <= 13 * 2 ** 20
         and wgrad_acc <= 20 * 2 ** 20
     )

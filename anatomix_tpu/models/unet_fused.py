@@ -93,8 +93,10 @@ def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
     first `skip_c1` input channels come from the encoder tap — those run
     the fused upsample+skip kernel (`conv_block.py`), which never
     materializes the upsampled tensor or the concat."""
+    # manual Mosaic DMA needs the block lane dim (8*ci) 128-aligned,
+    # hence ci % 16 (ci=8 would DMA 64 lanes)
     even = all(s % 2 == 0 for s in spatial)
-    if skip_c1 >= 8 and even:
+    if skip_c1 >= 16 and skip_c1 % 16 == 0 and even:
         c2 = cin - skip_c1
         skip_w = (64 * skip_c1 + 27 * c2) * 8 * cout * 2
         if skip_w <= _SPARSE_W_BYTES_MAX:
@@ -102,7 +104,7 @@ def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
     sparse_w = 64 * cin * 8 * cout * 2
     if even and cin < 8:
         return "block_dense"
-    if even and cin % 8 == 0 and sparse_w <= _SPARSE_W_BYTES_MAX:
+    if even and cin % 16 == 0 and sparse_w <= _SPARSE_W_BYTES_MAX:
         return "sparse"
     direct_w = 9 * -(-cin // 128) * 3 * -(-cout // 128) * 128 * 128 * 2
     if cin >= 64 and cout >= 64 and direct_w <= 12 * 2 ** 20:

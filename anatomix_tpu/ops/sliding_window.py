@@ -147,25 +147,27 @@ def _scan_windows(
         chunk_starts, chunk_mask = chunk
         windows = jax.vmap(slice_window)(chunk_starts)
         out = apply_fn(windows)  # (B, r, r, r, out_channels)
-        out = (
-            out.astype(acc_dtype)
-            * imp.astype(acc_dtype)
-            * chunk_mask[:, None, None, None, None].astype(acc_dtype)
-        )
+        impf = imp.astype(acc_dtype)
 
-        def scatter_one(a, s_o):
-            s, o = s_o
+        def scatter_one(a, s_o_m):
+            s, o, m = s_o_m
+            # blend multiply + f32 upcast inside the per-window step so it
+            # fuses into the slice-add-update chain instead of
+            # materializing a chunk-sized f32 tensor
+            ow = o.astype(acc_dtype) * impf * m.astype(acc_dtype)
             cur = jax.lax.dynamic_slice(
                 a, (s[0], s[1], s[2], 0), (r0, r1, r2, out_channels)
             )
             return (
                 jax.lax.dynamic_update_slice(
-                    a, cur + o, (s[0], s[1], s[2], 0)
+                    a, cur + ow, (s[0], s[1], s[2], 0)
                 ),
                 None,
             )
 
-        acc, _ = jax.lax.scan(scatter_one, acc, (chunk_starts, out))
+        acc, _ = jax.lax.scan(
+            scatter_one, acc, (chunk_starts, out, chunk_mask)
+        )
         return acc, None
 
     acc, _ = jax.lax.scan(

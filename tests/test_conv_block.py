@@ -161,7 +161,7 @@ def test_unet_fused_v2_matches_xla(rng):
 
     plan = build_plan(
         UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=2,
-                   ngf=8)
+                   ngf=16)
     )
     params = init_params(plan, jax.random.PRNGKey(0))
     fplan, fparams = fold_batchnorm(plan, params)
@@ -200,7 +200,7 @@ def test_unet_fused_instance_norm_matches_xla(rng):
     )
 
     cfg = UnetConfig(
-        dimension=3, input_nc=1, output_nc=8, num_downs=2, ngf=8,
+        dimension=3, input_nc=1, output_nc=8, num_downs=2, ngf=16,
         norm="instance", pooling="Avg", interp="trilinear",
         norm_eps=1e-2,
     )

@@ -26,7 +26,7 @@ def test_jnp_packer_matches_numpy(rng):
     "pad,act", [("zeros", "none"), ("reflect", "lrelu"), ("zeros", "relu")]
 )
 def test_train_conv_grads_match_xla(rng, pad, act):
-    ci, co = 8, 8
+    ci, co = 16, 16
     x = jnp.asarray(
         rng.standard_normal((2, 8, 8, 8, ci)).astype(np.float32)
     )
@@ -83,7 +83,7 @@ def test_pretrain_step_pallas_train_matches_xla():
     )
 
     cfg = UnetConfig(dimension=3, input_nc=1, output_nc=8, num_downs=2,
-                     ngf=8)
+                     ngf=16)
     plan = build_plan(cfg)
     taps = (plan.encoder_idx[-1], plan.num_layers - 1)
     state = init_train_state(
