@@ -228,84 +228,109 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
     t_data, t_step = 0.0, 0.0
     stop = False
 
-    for epoch in range(n_epochs_total):
-        order = rng_np.permutation(len(train_ds))
-        for start in range(0, steps_per_epoch * cfg.batch_size,
-                           cfg.batch_size):
-            t0 = time.time()
-            idxs = order[start: start + cfg.batch_size]
-            views_list, segs_list = [], []
-            for i in idxs:
-                img_a, img_b, seg = train_ds.get(int(i), rng_np)
-                key, sub = jax.random.split(key)
-                v, s = augment(
-                    sub, jnp.asarray(img_a), jnp.asarray(img_b),
-                    jnp.asarray(seg),
-                )
-                views_list.append(v)
-                segs_list.append(s)
-            views = jnp.stack(views_list)
-            segs = jnp.stack(segs_list).astype(jnp.int32)
-            t_data = 0.9 * t_data + 0.1 * (time.time() - t0)
+    def prepare_batch(idxs, keys):
+        """Host H5 read + H2D transfer + on-device paired augmentation.
 
-            t0 = time.time()
-            key, sub = jax.random.split(key)
-            state, metrics = step(state, views, segs, sub)
-            total_iters += 1
-            t_step = 0.9 * t_step + 0.1 * (time.time() - t0)
+        Runs on a worker thread so the (tunnel-slow) host->device copies
+        and HDF5 reads overlap the previous train step — the functional
+        replacement for the reference's DataLoader workers
+        (`pretraining/data/__init__.py:89-97`)."""
+        views_list, segs_list = [], []
+        for i, sub in zip(idxs, keys):
+            img_a, img_b, seg = train_ds.get(int(i), rng_np)
+            v, s = augment(
+                sub, jnp.asarray(img_a), jnp.asarray(img_b),
+                jnp.asarray(seg),
+            )
+            views_list.append(v)
+            segs_list.append(s)
+        return (
+            jnp.stack(views_list),
+            jnp.stack(segs_list).astype(jnp.int32),
+        )
 
-            if total_iters % cfg.print_freq == 0:
-                scalars = {f"loss/{k}": float(v) for k, v in metrics.items()
-                           if k.startswith("nce_") or k == "loss"}
-                scalars["metrics/grad_norm_G"] = float(
-                    metrics["grad_norm_G"])
-                scalars["metrics/grad_norm_F"] = float(
-                    metrics["grad_norm_F"])
-                logger.log(total_iters, scalars)
-                logger.log_text(
-                    f"(epoch: {epoch}, iters: {total_iters}, "
-                    f"data: {t_data:.3f}s, step: {t_step:.3f}s) "
-                    f"loss: {float(metrics['loss']):.4f}"
-                )
+    from concurrent.futures import ThreadPoolExecutor
 
-            if total_iters % cfg.save_latest_freq == 0:
-                save_state_leaves(state_path, state)
-                save_pytree(
-                    os.path.join(run_dir, "latest_net_G.npz"),
-                    state.params_g,
-                )
-                save_pytree(
-                    os.path.join(run_dir, "latest_net_F.npz"),
-                    state.params_f,
-                )
+    pool = ThreadPoolExecutor(max_workers=1)
 
-            if total_iters % cfg.evaluation_freq == 0:
-                save_pytree(
-                    os.path.join(run_dir, f"{total_iters}_net_G.npz"),
-                    state.params_g,
+    def batch_futures():
+        nonlocal key
+        for epoch in range(n_epochs_total):
+            order = rng_np.permutation(len(train_ds))
+            for start in range(0, steps_per_epoch * cfg.batch_size,
+                               cfg.batch_size):
+                idxs = order[start: start + cfg.batch_size]
+                keys = []
+                for _ in idxs:
+                    key, sub = jax.random.split(key)
+                    keys.append(sub)
+                yield epoch, pool.submit(prepare_batch, idxs, keys)
+
+    it = batch_futures()
+    pending = next(it, None)
+    while pending is not None:
+        epoch, fut = pending
+        t0 = time.time()
+        views, segs = fut.result()
+        pending = next(it, None)  # queue the next batch immediately
+        t_data = 0.9 * t_data + 0.1 * (time.time() - t0)
+
+        t0 = time.time()
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, views, segs, sub)
+        total_iters += 1
+        t_step = 0.9 * t_step + 0.1 * (time.time() - t0)
+
+        if total_iters % cfg.print_freq == 0:
+            scalars = {f"loss/{k}": float(v) for k, v in metrics.items()
+                       if k.startswith("nce_") or k == "loss"}
+            scalars["metrics/grad_norm_G"] = float(
+                metrics["grad_norm_G"])
+            scalars["metrics/grad_norm_F"] = float(
+                metrics["grad_norm_F"])
+            logger.log(total_iters, scalars)
+            logger.log_text(
+                f"(epoch: {epoch}, iters: {total_iters}, "
+                f"data: {t_data:.3f}s, step: {t_step:.3f}s) "
+                f"loss: {float(metrics['loss']):.4f}"
+            )
+
+        if total_iters % cfg.save_latest_freq == 0:
+            save_state_leaves(state_path, state)
+            save_pytree(
+                os.path.join(run_dir, "latest_net_G.npz"),
+                state.params_g,
+            )
+            save_pytree(
+                os.path.join(run_dir, "latest_net_F.npz"),
+                state.params_f,
+            )
+
+        if total_iters % cfg.evaluation_freq == 0:
+            save_pytree(
+                os.path.join(run_dir, f"{total_iters}_net_G.npz"),
+                state.params_g,
+            )
+            save_state_leaves(state_path, state)
+            if val_ds is not None:
+                val_loss = compute_val_loss(
+                    plan, cfg, taps, state, val_ds, rng_np,
+                    cfg.n_val_during_train,
                 )
-                save_state_leaves(state_path, state)
-                if val_ds is not None:
-                    val_loss = compute_val_loss(
-                        plan, cfg, taps, state, val_ds, rng_np,
-                        cfg.n_val_during_train,
+                logger.log(total_iters, {"loss/val": val_loss})
+                if val_loss < best_val:
+                    best_val = val_loss
+                    save_pytree(
+                        os.path.join(run_dir, "best_val_net_G.npz"),
+                        state.params_g,
                     )
-                    logger.log(total_iters, {"loss/val": val_loss})
-                    if val_loss < best_val:
-                        best_val = val_loss
-                        save_pytree(
-                            os.path.join(run_dir, "best_val_net_G.npz"),
-                            state.params_g,
-                        )
-                        with open(
-                            os.path.join(run_dir, "best_val_loss.txt"), "w"
-                        ) as f:
-                            f.write(str(best_val))
+                    with open(
+                        os.path.join(run_dir, "best_val_loss.txt"), "w"
+                    ) as f:
+                        f.write(str(best_val))
 
-            if cfg.max_iters and total_iters >= cfg.max_iters:
-                stop = True
-                break
-        if stop:
+        if cfg.max_iters and total_iters >= cfg.max_iters:
+            stop = True
             break
 
     save_state_leaves(state_path, state)
