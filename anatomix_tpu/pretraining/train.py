@@ -238,10 +238,13 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         views_list, segs_list = [], []
         for i, sub in zip(idxs, keys):
             img_a, img_b, seg = train_ds.get(int(i), rng_np)
-            v, s = augment(
-                sub, jnp.asarray(img_a), jnp.asarray(img_b),
-                jnp.asarray(seg),
-            )
+            # ship compactly through the ~40 MB/s tunnel (f32 would cost
+            # ~0.6 s/item, more than the train step): [0,1]-normalized
+            # images as f16, integer labels as i16; upcast on device
+            a = jnp.asarray(img_a.astype(np.float16)).astype(jnp.float32)
+            b = jnp.asarray(img_b.astype(np.float16)).astype(jnp.float32)
+            sg = jnp.asarray(seg.astype(np.int16)).astype(jnp.float32)
+            v, s = augment(sub, a, b, sg)
             views_list.append(v)
             segs_list.append(s)
         return (

@@ -199,6 +199,7 @@ def convex_adam(
         movsavename, grid_sp, disp_hw, lambda_weight, grid_sp_adam, ic,
         expname,
     )
+    os.makedirs(result_path, exist_ok=True)
 
     if warp_seg:
         fixseg, _ = load_volume(fixed_seg)
