@@ -37,6 +37,7 @@ from anatomix_tpu.ops.norms import (
     batch_norm_inference,
     batch_norm_train,
     instance_norm,
+    tiled_instance_norm,
 )
 from anatomix_tpu.ops.pool import avg_pool, max_pool
 from anatomix_tpu.ops.resize import upsample2x
@@ -288,6 +289,7 @@ def unet_apply(
     conv_impl: str = "xla",
     spatial_axis_name: str | None = None,
     eval_norm_layers: Sequence[int] = (),
+    in_tile_counts: tuple[int, int, int] | None = None,
     verbose: bool = False,
 ):
     """Run the UNet on NDHWC input `x`.
@@ -420,14 +422,25 @@ def unet_apply(
                         eps=cfg.norm_eps,
                     )
             elif cfg.norm == "instance":
-                feat = instance_norm(
-                    feat, eps=cfg.norm_eps, axis_name=spatial_axis_name
-                )
+                if in_tile_counts is not None:
+                    feat = tiled_instance_norm(
+                        feat, in_tile_counts, eps=cfg.norm_eps
+                    )
+                else:
+                    feat = instance_norm(
+                        feat, eps=cfg.norm_eps, axis_name=spatial_axis_name
+                    )
             elif cfg.norm == "instance_affine":
-                feat = instance_norm(
-                    feat, eps=cfg.norm_eps, scale=p["scale"],
-                    bias=p["bias"], axis_name=spatial_axis_name,
-                )
+                if in_tile_counts is not None:
+                    feat = tiled_instance_norm(
+                        feat, in_tile_counts, eps=cfg.norm_eps,
+                        scale=p["scale"], bias=p["bias"],
+                    )
+                else:
+                    feat = instance_norm(
+                        feat, eps=cfg.norm_eps, scale=p["scale"],
+                        bias=p["bias"], axis_name=spatial_axis_name,
+                    )
         elif spec.kind == "act":
             feat = act(feat)
         elif spec.kind == "pool":

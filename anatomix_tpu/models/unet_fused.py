@@ -56,6 +56,11 @@ from anatomix_tpu.ops.pallas.reshuffle import (
     depth_to_space as _d2s_pallas,
     space_to_depth as _s2d_pallas,
 )
+from anatomix_tpu.ops.norms import (
+    _chunk_sum,
+    _even_chunk_sizes,
+    tiled_instance_norm,
+)
 from anatomix_tpu.ops.pool import avg_pool, max_pool
 from anatomix_tpu.ops.resize import upsample2x
 
@@ -233,28 +238,66 @@ def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
 
 
 def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
-                       act_fn=None):
+                       act_fn=None, tile_counts=None):
     """Instance norm on either layout; in block layout the per-channel
     stats pool over spatial dims AND the 8 sub-position lane groups (the
     lane-dim split reshape is free in XLA). The following activation, if
-    any, rides in the same elementwise pass."""
+    any, rides in the same elementwise pass.
+
+    With `tile_counts`, statistics are computed per spatial tile instead of
+    globally (the 'full_tiled' extraction strategy, ops/norms.
+    tiled_instance_norm) — block-space tiles correspond 1:1 to full-res
+    tiles since s2d halves every spatial dim."""
+    if tile_counts is not None and tuple(tile_counts) == (1, 1, 1):
+        tile_counts = None
     f32 = feat.astype(jnp.float32)
     if in_block:
         B, d, h, w, c8 = feat.shape
         g = f32.reshape(B, d, h, w, 8, c8 // 8)
-        # one-pass moment statistics (see ops/norms.instance_norm)
-        mean = jnp.mean(g, axis=(1, 2, 3, 4))
-        m2 = jnp.mean(jnp.square(g), axis=(1, 2, 3, 4))
-        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
-        mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
-        inv8 = jnp.tile(
-            jax.lax.rsqrt(var + eps), (1, 8)
-        )[:, None, None, None, :]
+        if tile_counts is None:
+            # one-pass moment statistics (see ops/norms.instance_norm)
+            mean = jnp.mean(g, axis=(1, 2, 3, 4))
+            m2 = jnp.mean(jnp.square(g), axis=(1, 2, 3, 4))
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
+            inv8 = jnp.tile(
+                jax.lax.rsqrt(var + eps), (1, 8)
+            )[:, None, None, None, :]
+        else:
+            sizes = [
+                _even_chunk_sizes(s, n)
+                for s, n in zip((d, h, w), tile_counts)
+            ]
+            s1, s2 = g, jnp.square(g)
+            for ax, sz in zip((1, 2, 3), sizes):
+                s1 = _chunk_sum(s1, ax, sz)
+                s2 = _chunk_sum(s2, ax, sz)
+            s1 = jnp.sum(s1, axis=4)  # pool the 8 sub-position groups
+            s2 = jnp.sum(s2, axis=4)
+            counts = 8.0 * (
+                np.array(sizes[0], np.float32)[:, None, None]
+                * np.array(sizes[1], np.float32)[None, :, None]
+                * np.array(sizes[2], np.float32)[None, None, :]
+            )[None, ..., None]
+            mean = s1 / counts
+            var = jnp.maximum(s2 / counts - jnp.square(mean), 0.0)
+            inv = jax.lax.rsqrt(var + eps)
+            for ax, (s, sz) in enumerate(zip((d, h, w), sizes), start=1):
+                reps = np.array(sz)
+                mean = jnp.repeat(mean, reps, axis=ax,
+                                  total_repeat_length=s)
+                inv = jnp.repeat(inv, reps, axis=ax, total_repeat_length=s)
+            mean8 = jnp.tile(mean, (1, 1, 1, 1, 8))
+            inv8 = jnp.tile(inv, (1, 1, 1, 1, 8))
         y = (f32 - mean8) * inv8
         if scale is not None:
             y = y * jnp.tile(scale.astype(jnp.float32), 8)
         if bias is not None:
             y = y + jnp.tile(bias.astype(jnp.float32), 8)
+    elif tile_counts is not None:
+        y = tiled_instance_norm(
+            feat, tile_counts, eps=eps, scale=scale, bias=bias
+        ).astype(jnp.float32)
     else:
         mean = jnp.mean(f32, axis=(1, 2, 3), keepdims=True)
         var = jnp.mean(jnp.square(f32 - mean), axis=(1, 2, 3),
@@ -276,10 +319,12 @@ def unet_apply_fused(
     *,
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
+    in_tile_counts: tuple[int, int, int] | None = None,
 ) -> jax.Array:
     """Inference forward in whole-level block-space layout. Params must
     come from `prepack_fused` on BN-folded weights (batch norm) or raw
-    weights (live instance norms)."""
+    weights (live instance norms). `in_tile_counts` switches live instance
+    norms to per-spatial-tile statistics (the 'full_tiled' strategy)."""
     cfg = plan.config
     if not supports_fusion(cfg):
         raise ValueError("config not supported by the fused path")
@@ -347,6 +392,7 @@ def unet_apply_fused(
                 feat, in_block, eps=cfg.norm_eps,
                 scale=p.get("scale") if p else None,
                 bias=p.get("bias") if p else None,
+                tile_counts=in_tile_counts,
             )
         elif spec.kind == "act":
             if idx not in consumed:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def instance_norm(
@@ -47,6 +48,80 @@ def instance_norm(
         m2 = jax.lax.pmean(m2, axis_name)
     var = jnp.maximum(m2 - jnp.square(mean), 0.0)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _even_chunk_sizes(size: int, n: int) -> list[int]:
+    """Split `size` into `n` contiguous chunks as evenly as possible."""
+    base, rem = divmod(size, n)
+    return [base + (1 if i < rem else 0) for i in range(n)]
+
+
+def _chunk_sum(x: jax.Array, axis: int, sizes: list[int]) -> jax.Array:
+    """Sum contiguous chunks along `axis` (static boundaries — compiles to a
+    handful of slice-reductions; chunk counts are small, typically ≤ 4)."""
+    if len(sizes) == 1:
+        return jnp.sum(x, axis=axis, keepdims=True)
+    parts = []
+    off = 0
+    for sz in sizes:
+        sl = jax.lax.slice_in_dim(x, off, off + sz, axis=axis)
+        parts.append(jnp.sum(sl, axis=axis, keepdims=True))
+        off += sz
+    return jnp.concatenate(parts, axis=axis)
+
+
+def tiled_instance_norm(
+    x: jax.Array,
+    tile_counts: tuple[int, int, int],
+    *,
+    eps: float = 1e-5,
+    scale: jax.Array | None = None,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Instance norm with statistics per spatial *tile* of an NDHWC array.
+
+    Each axis is split into `tile_counts[i]` contiguous, as-even-as-possible
+    chunks; mean/var are computed per (tile, channel) and each voxel is
+    normalized with its own tile's statistics. With `tile_counts=(1,1,1)`
+    this is exactly `instance_norm`.
+
+    This is the statistics model of the 'full_tiled' extraction strategy:
+    one fully-convolutional forward whose instance-norm context is a
+    roi-sized subvolume instead of the whole volume — approximating the
+    reference's per-sliding-window normalization
+    (`convex_adam_utils.py:202-219`) at 1/27th of the overlap-0.8 FLOPs.
+    """
+    nt = tuple(tile_counts)
+    if nt == (1, 1, 1):
+        return instance_norm(x, eps=eps, scale=scale, bias=bias)
+    x32 = x.astype(jnp.float32)
+    spatial = x.shape[1:4]
+    sizes = [_even_chunk_sizes(s, n) for s, n in zip(spatial, nt)]
+
+    s1 = x32
+    s2 = jnp.square(x32)
+    for ax, sz in zip((1, 2, 3), sizes):
+        s1 = _chunk_sum(s1, ax, sz)
+        s2 = _chunk_sum(s2, ax, sz)
+    counts = (
+        np.array(sizes[0], np.float32)[:, None, None]
+        * np.array(sizes[1], np.float32)[None, :, None]
+        * np.array(sizes[2], np.float32)[None, None, :]
+    )[None, ..., None]
+    mean = s1 / counts
+    var = jnp.maximum(s2 / counts - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    # broadcast per-tile stats back to per-voxel (static uneven repeats)
+    for ax, (s, sz) in enumerate(zip(spatial, sizes), start=1):
+        reps = np.array(sz)
+        mean = jnp.repeat(mean, reps, axis=ax, total_repeat_length=s)
+        inv = jnp.repeat(inv, reps, axis=ax, total_repeat_length=s)
+    y = (x32 - mean) * inv
     if scale is not None:
         y = y * scale.astype(jnp.float32)
     if bias is not None:

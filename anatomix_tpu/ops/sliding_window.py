@@ -136,7 +136,7 @@ def _scan_windows(
     if vary_axis is not None:
         # Under shard_map the accumulator is device-varying (each shard sums
         # a different window subset); mark the carry accordingly.
-        acc0 = jax.lax.pvary(acc0, (vary_axis,))
+        acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
     def slice_window(s):
         return jax.lax.dynamic_slice(

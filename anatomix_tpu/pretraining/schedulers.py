@@ -71,13 +71,16 @@ def make_schedule(
 
 @dataclasses.dataclass
 class PlateauState:
-    """ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01,
-    patience=5) host-side state."""
+    """ReduceLROnPlateau host-side state, matching the reference's settings
+    (`pretraining_networks.py:583-590`: mode='min', factor=0.5,
+    threshold=1e-4 rel, patience=5, min_lr=1e-7), stepped on the val loss
+    at the evaluation cadence (`trainers/train.py:379-380`)."""
 
     lr: float
-    factor: float = 0.2
-    threshold: float = 0.01
+    factor: float = 0.5
+    threshold: float = 1e-4
     patience: int = 5
+    min_lr: float = 1e-7
     best: float = float("inf")
     num_bad: int = 0
 
@@ -88,6 +91,6 @@ class PlateauState:
         else:
             self.num_bad += 1
             if self.num_bad > self.patience:
-                self.lr *= self.factor
+                self.lr = max(self.lr * self.factor, self.min_lr)
                 self.num_bad = 0
         return self.lr
