@@ -54,6 +54,7 @@ class PretrainConfig:
     weigh_rarity: bool = False
     balance_denominator: bool = False
     weighting_mode: str = "raw"
+    load_mask: bool = False  # sample patches from foreground (seg>0) only
 
     # data
     crop_size: int = 128

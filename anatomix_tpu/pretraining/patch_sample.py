@@ -126,21 +126,51 @@ def apply_patch_mlp(
 
 
 def sample_patch_coords(
-    key: jax.Array, spatial: tuple[int, int, int], num_patches: int
+    key: jax.Array,
+    spatial: tuple[int, int, int],
+    num_patches: int,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     """Sample min(num_patches, voxels) distinct voxel coords, (P, 3) int32.
 
     Matches the reference's randperm-then-take (uniform, without
-    replacement) over all voxels (`pretraining_networks.py:439-460`).
+    replacement) over all voxels, or over foreground voxels when a mask is
+    given (`pretraining_networks.py:436-460`). The masked path uses Gumbel
+    top-k, which is a static-shape uniform sample without replacement over
+    the mask support; unlike the reference (which returns fewer patches),
+    when the foreground has fewer than `num_patches` voxels the remainder
+    is filled with uniformly-sampled background voxels.
     """
     d, h, w = spatial
     n = d * h * w
     p = min(num_patches, n)
-    flat = jax.random.choice(key, n, (p,), replace=False)
+    if mask is None:
+        flat = jax.random.choice(key, n, (p,), replace=False)
+    else:
+        g = jax.random.gumbel(key, (n,), jnp.float32)
+        score = g + jnp.where(mask.reshape(-1) > 0, 0.0, -1e9)
+        _, flat = jax.lax.top_k(score, p)
     cz = flat // (h * w)
     cy = (flat // w) % h
     cx = flat % w
     return jnp.stack([cz, cy, cx], axis=-1).astype(jnp.int32)
+
+
+def nearest_downsample(
+    vol: jax.Array, tap_spatial: tuple[int, int, int]
+) -> jax.Array:
+    """Nearest-downsample a (D, H, W) volume to a tap grid, matching torch
+    `F.interpolate(mode='nearest')` (out[i] = in[floor(i*D/d)]) — used to
+    bring a foreground mask to each tap's resolution
+    (`pretraining_networks.py:398-402`)."""
+    D, H, W = vol.shape
+    d, h, w = tap_spatial
+    if D % d == 0 and H % h == 0 and W % w == 0:
+        return vol[:: D // d, :: H // h, :: W // w]
+    iz = (jnp.arange(d, dtype=jnp.float32) * (D / d)).astype(jnp.int32)
+    iy = (jnp.arange(h, dtype=jnp.float32) * (H / h)).astype(jnp.int32)
+    ix = (jnp.arange(w, dtype=jnp.float32) * (W / w)).astype(jnp.int32)
+    return vol[iz][:, iy][:, :, ix]
 
 
 def gather_at_coords(feat: jax.Array, coords: jax.Array) -> jax.Array:

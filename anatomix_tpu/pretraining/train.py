@@ -35,6 +35,7 @@ from anatomix_tpu.utils.checkpoint import (
     save_state_leaves,
 )
 from anatomix_tpu.utils.logging import ScalarLogger
+from anatomix_tpu.utils.visualization import log_panels, save_tensor
 
 
 def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
@@ -71,11 +72,17 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
     else:
         raise NotImplementedError(f"netG {cfg.netG!r}")
 
-    schedule = make_schedule(
-        cfg.lr, cfg.lr_policy,
-        n_epochs=cfg.n_epochs, n_epochs_decay=cfg.n_epochs_decay,
-        steps_per_epoch=steps_per_epoch,
-    )
+    if cfg.lr_policy == "plateau":
+        # loss-driven: constant compiled schedule, host-side PlateauState
+        # scales `state.lr_scale` at the eval cadence (reference
+        # ReduceLROnPlateau, `pretraining_networks.py:583-590`)
+        schedule = None
+    else:
+        schedule = make_schedule(
+            cfg.lr, cfg.lr_policy,
+            n_epochs=cfg.n_epochs, n_epochs_decay=cfg.n_epochs_decay,
+            steps_per_epoch=steps_per_epoch,
+        )
     frozen = ()
     if cfg.unfreeze_layers and cfg.netG == "unet":
         from anatomix_tpu.pretraining.train_step import frozen_layer_ids
@@ -119,6 +126,7 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
         nce_weights=cfg.nce_weights,
         mesh=mesh,
         donate=False,
+        use_fg_mask=cfg.load_mask,
         **common,
     )
     return plan, taps, state, step
@@ -126,9 +134,6 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
 
 def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches):
     """Validation loss on full volumes (no aug), `train.py:317-376`."""
-    aug_off = dataclasses.replace(
-        cfg, augment=False, crop_size=-1, batch_size=1
-    )
     nce = NCEOptions(
         temperature=cfg.nce_T, lambda_nce=cfg.lambda_NCE,
         weigh_rarity=cfg.weigh_rarity,
@@ -220,8 +225,31 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
             print(f"Warm-starting F from {f_ckpt}")
             state = state.replace(params_f=load_pytree(f_ckpt))
 
+    # plateau LR policy: host-side ReduceLROnPlateau state scaling the
+    # compiled constant schedule via `state.lr_scale`
+    # (`pretraining_networks.py:583-590`, stepped on val loss as in
+    # `trainers/train.py:379-380`)
+    plateau = None
+    plateau_path = os.path.join(run_dir, "plateau_state.json")
+    if cfg.lr_policy == "plateau":
+        from anatomix_tpu.pretraining.schedulers import PlateauState
+
+        plateau = PlateauState(lr=cfg.lr)
+        if resume_path and os.path.exists(plateau_path):
+            import json
+
+            with open(plateau_path) as f:
+                plateau = PlateauState(**json.load(f))
+            state = state.replace(
+                lr_scale=jnp.asarray(plateau.lr / cfg.lr, jnp.float32)
+            )
+
     logger = ScalarLogger(run_dir, purge_step=total_iters or None)
     rng_np = np.random.default_rng(cfg.seed + total_iters)
+    # the prefetch worker thread draws from its own child generator: numpy
+    # Generators are not thread-safe and prepare_batch overlaps the main
+    # thread's validation draws
+    rng_data = rng_np.spawn(1)[0]
     key = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), total_iters)
 
     n_epochs_total = cfg.n_epochs + cfg.n_epochs_decay
@@ -237,10 +265,14 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         (`pretraining/data/__init__.py:89-97`)."""
         views_list, segs_list = [], []
         for i, sub in zip(idxs, keys):
-            img_a, img_b, seg = train_ds.get(int(i), rng_np)
+            img_a, img_b, seg = train_ds.get(int(i), rng_data)
             # ship compactly through the ~40 MB/s tunnel (f32 would cost
             # ~0.6 s/item, more than the train step): [0,1]-normalized
-            # images as f16, integer labels as i16; upcast on device
+            # images as f16 (quantization intentional — inputs are
+            # percentile-normalized to [0,1]), integer labels as i16
+            assert seg.max() < np.iinfo(np.int16).max, (
+                f"label ids up to {seg.max()} overflow the int16 transfer"
+            )
             a = jnp.asarray(img_a.astype(np.float16)).astype(jnp.float32)
             b = jnp.asarray(img_b.astype(np.float16)).astype(jnp.float32)
             sg = jnp.asarray(seg.astype(np.int16)).astype(jnp.float32)
@@ -298,7 +330,40 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                 f"loss: {float(metrics['loss']):.4f}"
             )
 
+        if cfg.display_freq and total_iters % cfg.display_freq == 0:
+            # mid-slice panels of the current batch (reference
+            # `trainers/train.py:256-258` display cadence); fetch only the
+            # mid slices — whole volumes are slow through the tunnel
+            def _mid(v):
+                return np.asarray(v[v.shape[0] // 2])[None]
+
+            log_panels(
+                logger,
+                "train/visuals",
+                {
+                    "view1": _mid(views[0, 0]),
+                    "view2": _mid(views[0, 1]),
+                    "seg": _mid(segs[0].astype(jnp.float32)),
+                },
+                total_iters,
+            )
+
         if total_iters % cfg.save_latest_freq == 0:
+            # periodic volume dumps of the live training tensors
+            # (`trainers/train.py:302-309` + `util/util.py:39-75`)
+            vis_dir = os.path.join(run_dir, "visuals")
+            save_tensor(
+                np.asarray(views[0, 0].astype(jnp.float16)),
+                os.path.join(vis_dir, "latest_view1.nii.gz"),
+            )
+            save_tensor(
+                np.asarray(views[0, 1].astype(jnp.float16)),
+                os.path.join(vis_dir, "latest_view2.nii.gz"),
+            )
+            save_tensor(
+                np.asarray(segs[0]),
+                os.path.join(vis_dir, "latest_seg.nii.gz"),
+            )
             save_state_leaves(state_path, state)
             save_pytree(
                 os.path.join(run_dir, "latest_net_G.npz"),
@@ -321,6 +386,18 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                     cfg.n_val_during_train,
                 )
                 logger.log(total_iters, {"loss/val": val_loss})
+                if plateau is not None:
+                    new_lr = plateau.step(val_loss)
+                    state = state.replace(
+                        lr_scale=jnp.asarray(
+                            new_lr / cfg.lr, jnp.float32
+                        )
+                    )
+                    import json
+
+                    with open(plateau_path, "w") as f:
+                        json.dump(dataclasses.asdict(plateau), f)
+                    logger.log(total_iters, {"lr": new_lr})
                 if val_loss < best_val:
                     best_val = val_loss
                     save_pytree(

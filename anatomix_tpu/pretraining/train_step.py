@@ -66,6 +66,7 @@ from anatomix_tpu.pretraining.patch_sample import (
     gather_at_coords,
     init_patch_mlps,
     labels_at_coords,
+    nearest_downsample,
     sample_patch_coords,
 )
 
@@ -76,6 +77,11 @@ class TrainState(struct.PyTreeNode):
     params_f: Any
     opt_state_g: Any
     opt_state_f: Any
+    # host-driven LR multiplier on top of the compiled schedule; the
+    # `lr_policy=plateau` hook (reference ReduceLROnPlateau stepped on val
+    # loss, `pretraining_networks.py:583-590` + `trainers/train.py:379-380`)
+    # updates it from the train loop without retracing the step.
+    lr_scale: jax.Array
 
 
 def _trainable_mask(params, frozen_layers=()):
@@ -123,9 +129,15 @@ def make_optimizer(
 ):
     """AdamW matching the reference's optimizer_G/optimizer_F settings
     (`supcl_model.py:508-517,583-591`), with optional global-norm clipping
-    and gradient accumulation (`supcl_model.py:618-657`)."""
+    and gradient accumulation (`supcl_model.py:618-657`).
+
+    The learning rate is always wrapped as a schedule callable so the
+    optimizer-state tree structure is identical with and without a schedule
+    (the train step swaps in a host-scaled schedule for `lr_policy=plateau`
+    without changing the state layout)."""
+    sched = schedule if schedule is not None else (lambda count: lr)
     tx = optax.adamw(
-        schedule if schedule is not None else lr,
+        sched,
         b1=beta1,
         b2=beta2,
         weight_decay=weight_decay,
@@ -203,6 +215,7 @@ def init_train_state(
         params_f=params_f,
         opt_state_g=tx_g.init(params_g),
         opt_state_f=tx_f.init(params_f),
+        lr_scale=jnp.ones((), jnp.float32),
     )
 
 
@@ -232,8 +245,14 @@ def nce_forward(
     bn_axis_name: str | None = None,
     eval_norm_layers: Sequence[int] = (),
     conv_impl: str = "xla",
+    fg_masks: jax.Array | None = None,  # (B, D, H, W) >0 = foreground
 ):
     """Compute the multi-tap SupPatchNCE loss.
+
+    With `fg_masks`, patch coordinates are sampled from foreground voxels
+    only (the reference's PatchSampleF mask path,
+    `pretraining_networks.py:436-460`; the mask is nearest-interpolated to
+    each tap's grid).
 
     Returns (loss, aux) with aux = dict(new_g_stats, new_f_stats,
     per_layer_losses).
@@ -260,9 +279,19 @@ def nce_forward(
         tap_spatial = feat.shape[1:4]
         rng, sub = jax.random.split(rng)
         keys = jax.random.split(sub, B)
-        coords = jax.vmap(
-            lambda k: sample_patch_coords(k, tap_spatial, num_patches)
-        )(keys)  # (B, P, 3)
+        if fg_masks is not None:
+            tap_masks = jax.vmap(
+                lambda m: nearest_downsample(m, tap_spatial)
+            )(fg_masks)
+            coords = jax.vmap(
+                lambda k, m: sample_patch_coords(
+                    k, tap_spatial, num_patches, mask=m
+                )
+            )(keys, tap_masks)  # (B, P, 3)
+        else:
+            coords = jax.vmap(
+                lambda k: sample_patch_coords(k, tap_spatial, num_patches)
+            )(keys)  # (B, P, 3)
 
         g1 = jax.vmap(gather_at_coords)(feat[:B], coords)  # (B, P, ch)
         g2 = jax.vmap(gather_at_coords)(feat[B:], coords)
@@ -336,6 +365,7 @@ def build_train_step(
     donate: bool = True,
     frozen_layers: Sequence[int] = (),
     conv_impl: str = "auto",
+    use_fg_mask: bool = False,
 ):
     """Build the jitted train step `(state, views, segs, rng) -> (state,
     metrics)`.
@@ -360,10 +390,15 @@ def build_train_step(
     )
     opt_common = dict(
         beta1=beta1, beta2=beta2, weight_decay=weight_decay,
-        schedule=schedule, grad_accum=grad_accum,
+        grad_accum=grad_accum,
     )
 
     def step_fn(state: TrainState, views, segs, rng):
+        # schedule × host-driven scale (traced: lr_scale is a state leaf)
+        def scaled_schedule(count):
+            base = schedule(count) if schedule is not None else lr
+            return base * state.lr_scale
+
         def loss_fn(params_g, params_f):
             eval_norms = tuple(
                 i for i in frozen_layers
@@ -377,6 +412,10 @@ def build_train_step(
                 compute_dtype=compute_dtype,
                 eval_norm_layers=eval_norms,
                 conv_impl=conv_impl,
+                # label > 0 is the foreground mask (the reference's dataset
+                # ships a dedicated `mask` key, `h5supcl_dataset.py:339-343`;
+                # seg>0 is its value for the synthetic training data)
+                fg_masks=(segs[..., 0] > 0) if use_fg_mask else None,
             )
 
         (loss, aux), grads = jax.value_and_grad(
@@ -385,13 +424,14 @@ def build_train_step(
         grads_g, grads_f = grads
 
         tx_g = make_optimizer(
-            lr, grad_clip=grad_clip,
+            lr, grad_clip=grad_clip, schedule=scaled_schedule,
             mask=_trainable_mask(state.params_g, frozen_layers),
             **opt_common,
         )
         tx_f = make_optimizer(
             lr,
             grad_clip=grad_clip_f if grad_clip_f is not None else grad_clip,
+            schedule=scaled_schedule,
             mask=_trainable_mask(state.params_f), **opt_common,
         )
         updates_g, opt_state_g = tx_g.update(
@@ -429,6 +469,7 @@ def build_train_step(
             "loss": loss,
             "grad_norm_G": grad_norm_g,
             "grad_norm_F": grad_norm_f,
+            "lr": scaled_schedule(state.step),
             **{f"nce_{k}": v for k, v in aux["per_layer"].items()},
         }
         new_state = TrainState(
@@ -437,6 +478,7 @@ def build_train_step(
             params_f=params_f,
             opt_state_g=opt_state_g,
             opt_state_f=opt_state_f,
+            lr_scale=state.lr_scale,
         )
         return new_state, metrics
 

@@ -111,6 +111,87 @@ def test_schedule_const_linear():
     assert float(sched(49)) == 0.5  # epoch 4: 1 - 2/4
 
 
+def test_train_step_lr_scale():
+    """state.lr_scale multiplies the compiled schedule: scale 0 must freeze
+    the parameters without retracing the step."""
+    from anatomix_tpu.models.unet import UnetConfig, build_plan
+    from anatomix_tpu.pretraining.train_step import (
+        build_train_step,
+        init_train_state,
+    )
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4)
+    )
+    taps = (plan.encoder_idx[-1], plan.num_layers - 1)
+    state = init_train_state(
+        plan, jax.random.PRNGKey(0), tap_layers=taps, num_patches=8,
+        netf_nc=16, lr=1e-2,
+    )
+    step = build_train_step(
+        plan, tap_layers=taps, num_patches=8, nce_temperature=0.33,
+        lr=1e-2, donate=False,
+    )
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(
+        rng.standard_normal((1, 2, 16, 16, 16, 1)).astype(np.float32)
+    )
+    segs = jnp.asarray(rng.integers(0, 3, (1, 16, 16, 16, 1)), jnp.int32)
+
+    frozen = state.replace(lr_scale=jnp.zeros((), jnp.float32))
+    out0, _ = step(frozen, views, segs, jax.random.PRNGKey(1))
+    w_before = np.asarray(state.params_g["0"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(out0.params_g["0"]["w"]), w_before
+    )
+
+    out1, m1 = step(state, views, segs, jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(out1.params_g["0"]["w"]), w_before)
+    np.testing.assert_allclose(float(m1["lr"]), 1e-2, rtol=1e-6)
+
+
+def test_trainer_plateau_policy(tmp_path, monkeypatch):
+    """lr_policy=plateau: stagnating val loss drops the LR by `factor`
+    after `patience` bad evals (reference ReduceLROnPlateau semantics)."""
+    import anatomix_tpu.pretraining.train as train_mod
+
+    _make_h5(str(tmp_path / "train_data.hdf5"))
+    _make_h5(str(tmp_path / "val_data.hdf5"), n_subjects=1)
+    monkeypatch.setattr(
+        train_mod, "compute_val_loss",
+        lambda *a, **k: 1.0,  # perfectly stagnant val loss
+    )
+    cfg = _tiny_cfg(
+        tmp_path, lr_policy="plateau", evaluation_freq=1, max_iters=8,
+        n_epochs=4, save_latest_freq=100, print_freq=100,
+    )
+    state = train_mod.train(cfg)
+    # evals 2..8 are all bad; patience 5 -> drop at the 7th eval
+    assert float(state.lr_scale) == 0.5
+    import json
+
+    run_dir = os.path.join(cfg.ckpt_dir, cfg.name)
+    with open(os.path.join(run_dir, "plateau_state.json")) as f:
+        saved = json.load(f)
+    assert saved["lr"] == cfg.lr * 0.5
+
+
+def test_trainer_visual_dumps(tmp_path):
+    """save_latest cadence dumps live view/seg volumes under visuals/
+    (reference `trainers/train.py:302-309`)."""
+    _make_h5(str(tmp_path / "train_data.hdf5"))
+    cfg = _tiny_cfg(tmp_path, save_latest_freq=2, display_freq=2)
+    train(cfg)
+    vis = os.path.join(cfg.ckpt_dir, cfg.name, "visuals")
+    for name in ("latest_view1.nii.gz", "latest_view2.nii.gz",
+                 "latest_seg.nii.gz"):
+        assert os.path.exists(os.path.join(vis, name)), name
+    from anatomix_tpu.utils.nifti import read_nifti
+
+    vol, _ = read_nifti(os.path.join(vis, "latest_view1.nii.gz"))
+    assert vol.shape == (16, 16, 16)
+
+
 def test_trainer_runs_and_resumes(tmp_path):
     _make_h5(str(tmp_path / "train_data.hdf5"))
     _make_h5(str(tmp_path / "val_data.hdf5"), n_subjects=1)

@@ -147,3 +147,76 @@ def test_sup_patch_nce_matches_reference_math(rng, rarity, balance, mode):
         )
     )
     assert got == pytest.approx(ref, rel=1e-4, abs=1e-5)
+
+
+def test_sample_patch_coords_foreground_mask():
+    """Masked sampling draws distinct foreground voxels; background only
+    fills in when the foreground is smaller than num_patches."""
+    from anatomix_tpu.pretraining.patch_sample import (
+        nearest_downsample,
+        sample_patch_coords,
+    )
+
+    spatial = (8, 8, 8)
+    mask = np.zeros(spatial, np.float32)
+    mask[2:5, 1:7, 3:6] = 1.0  # 54 foreground voxels
+    m = jnp.asarray(mask)
+
+    coords = np.asarray(
+        sample_patch_coords(jax.random.PRNGKey(0), spatial, 32, mask=m)
+    )
+    assert coords.shape == (32, 3)
+    assert (mask[coords[:, 0], coords[:, 1], coords[:, 2]] == 1).all()
+    flat = (coords[:, 0] * 8 + coords[:, 1]) * 8 + coords[:, 2]
+    assert len(np.unique(flat)) == 32  # without replacement
+
+    # num_patches > foreground: every fg voxel selected, rest background
+    coords2 = np.asarray(
+        sample_patch_coords(jax.random.PRNGKey(1), spatial, 100, mask=m)
+    )
+    fg_hits = mask[coords2[:, 0], coords2[:, 1], coords2[:, 2]].sum()
+    assert fg_hits == 54
+    flat2 = (coords2[:, 0] * 8 + coords2[:, 1]) * 8 + coords2[:, 2]
+    assert len(np.unique(flat2)) == 100
+
+    # two keys give different draws
+    coords3 = np.asarray(
+        sample_patch_coords(jax.random.PRNGKey(2), spatial, 32, mask=m)
+    )
+    assert not np.array_equal(coords, coords3)
+
+    # nearest_downsample matches torch F.interpolate(mode='nearest')
+    import torch
+    import torch.nn.functional as F
+
+    vol = np.arange(9 * 10 * 12, dtype=np.float32).reshape(9, 10, 12)
+    ours = np.asarray(nearest_downsample(jnp.asarray(vol), (3, 5, 5)))
+    ref = (
+        F.interpolate(torch.from_numpy(vol)[None, None], size=(3, 5, 5),
+                      mode="nearest")[0, 0]
+        .numpy()
+    )
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_train_step_fg_mask_option():
+    """use_fg_mask=True compiles and runs; loss stays finite."""
+    plan = build_plan(TINY)
+    taps = (plan.encoder_idx[-1], plan.num_layers - 1)
+    state = init_train_state(
+        plan, jax.random.PRNGKey(0), tap_layers=taps, num_patches=16,
+        netf_nc=16, lr=1e-3,
+    )
+    step = build_train_step(
+        plan, tap_layers=taps, num_patches=16, nce_temperature=0.33,
+        lr=1e-3, donate=False, use_fg_mask=True,
+    )
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(
+        rng.standard_normal((1, 2, 16, 16, 16, 1)).astype(np.float32)
+    )
+    segs = np.zeros((1, 16, 16, 16, 1), np.int32)
+    segs[:, 4:12, 4:12, 4:12] = rng.integers(1, 3, (1, 8, 8, 8, 1))
+    state, metrics = step(state, views, jnp.asarray(segs),
+                          jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
