@@ -27,6 +27,14 @@ def _conv_t(w):  # torch Conv3d (O, I, kD, kH, kW) -> DHWIO
     return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 1, 0)))
 
 
+def _deconv_t(w):
+    """torch ConvTranspose3d (I, O, kD, kH, kW) -> DHWIO for
+    `lax.conv_transpose` (spatial flip + transpose; verified numerically
+    against `nn.ConvTranspose3d` in tests/test_vit3d.py)."""
+    w = np.asarray(w)[:, :, ::-1, ::-1, ::-1]
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 0, 1)))
+
+
 def convert_primus_state_dict(
     cfg: PrimusConfig, state_dict: Mapping[str, Any]
 ) -> tuple[dict[str, Any], list[str], list[str]]:
@@ -135,22 +143,113 @@ def convert_primus_state_dict(
         "bias": take("eva.norm.bias", "eva.fc_norm.bias"),
     }
 
-    # tokenizer / decoder convs: mapped generically by conv shape order
-    tok_keys = sorted(
-        k for k in sd
-        if k.startswith("down_projection.") and k.endswith("weight")
-        and sd[k].ndim == 5
-    )
-    dec_keys = sorted(
-        k for k in sd
-        if k.startswith("up_projection.") and k.endswith("weight")
-        and sd[k].ndim == 5
-    )
-    params["_raw_tokenizer"] = {
-        k: _conv_t(sd[k]) for k in tok_keys
-    }
-    params["_raw_decoder"] = {k: _conv_t(sd[k]) for k in dec_keys}
-    used |= set(tok_keys) | set(dec_keys)
+    # ---- tokenizer / decoder convs ------------------------------------------
+    # The upstream sub-module names inside down_projection/up_projection are
+    # not pinned here (package unavailable), so convs are matched to the
+    # runtime structure by their expected forward-order DHWIO shapes; ties
+    # between same-shape convs resolve in sorted-key order (the upstream's
+    # numeric module indices sort in forward order).
+    def _grab_convs(prefix, transform):
+        items = []
+        for k in sorted(sd):
+            if (
+                k.startswith(prefix)
+                and k.endswith("weight")
+                and sd[k].ndim == 5
+            ):
+                bk = k[: -len("weight")] + "bias"
+                items.append(
+                    (
+                        k,
+                        transform(sd[k]).astype(np.float32),
+                        sd[bk].astype(np.float32) if bk in sd else None,
+                        bk,
+                    )
+                )
+        return items
+
+    def _pop_match(items, shape, what):
+        for idx, (k, w, b, bk) in enumerate(items):
+            if w.shape == shape:
+                items.pop(idx)
+                used.add(k)
+                p = {"w": w}
+                if b is not None:
+                    used.add(bk)
+                    p["b"] = b
+                return p
+        unfilled.append(f"{what} {shape}")
+        return {"w": np.zeros(shape, np.float32)}
+
+    tok_items = _grab_convs("down_projection.", _conv_t)
+    if cfg.version == "v2":
+        base = cfg.tokenizer_base_features
+        tok: dict[str, Any] = {
+            "stem": _pop_match(
+                tok_items,
+                (3, 3, 3, cfg.input_channels, base),
+                "tokenizer stem",
+            )
+        }
+        ch = base
+        stages = []
+        for level, depth in enumerate(cfg.tokenizer_depth_per_level):
+            out_ch = min(ch * 2, cfg.embed_dim)
+            stage = {
+                "down": _pop_match(
+                    tok_items, (3, 3, 3, ch, out_ch),
+                    f"tokenizer stage{level} down",
+                ),
+                "blocks": [
+                    {
+                        "conv1": _pop_match(
+                            tok_items, (3, 3, 3, out_ch, out_ch),
+                            f"tokenizer stage{level} block{j} conv1",
+                        ),
+                        "conv2": _pop_match(
+                            tok_items, (3, 3, 3, out_ch, out_ch),
+                            f"tokenizer stage{level} block{j} conv2",
+                        ),
+                    }
+                    for j in range(depth)
+                ],
+            }
+            stages.append(stage)
+            ch = out_ch
+        tok["stages"] = stages
+        tok["proj"] = _pop_match(
+            tok_items, (1, 1, 1, ch, cfg.embed_dim), "tokenizer proj"
+        )
+        params["tokenizer"] = tok
+    else:  # v1: single strided patch-embed conv + token LayerNorm
+        p = cfg.patch_embed_size
+        params["tokenizer"] = {
+            "proj": _pop_match(
+                tok_items,
+                (p[0], p[1], p[2], cfg.input_channels, cfg.embed_dim),
+                "patch embed proj",
+            ),
+            "norm": {
+                "scale": take(
+                    "down_projection.norm.weight", optional=True
+                ),
+                "bias": take("down_projection.norm.bias", optional=True),
+            },
+        }
+
+    import math
+
+    dec_items = _grab_convs("up_projection.", _deconv_t)
+    n_up = int(round(math.log2(cfg.patch_embed_size[0])))
+    dec = []
+    ch = cfg.embed_dim
+    for i in range(n_up):
+        out_ch = cfg.num_classes if i == n_up - 1 else max(ch // 2, 32)
+        dec.append(
+            _pop_match(dec_items, (2, 2, 2, ch, out_ch), f"decoder up{i}")
+        )
+        ch = out_ch
+    params["decoder"] = dec
 
     unmapped = sorted(set(sd) - used)
     return params, unmapped, unfilled

@@ -103,3 +103,183 @@ def test_gradients_flow(tiny):
         sum(float(jnp.sum(g ** 2)) for g in jax.tree_util.tree_leaves(grads))
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def _synthetic_upstream_state_dict(cfg, rng):
+    """Fabricate a state dict in the documented upstream layout: timm-EVA
+    attribute names under `eva.`, wrapper additions (q/k_norm per
+    `architectures.py:108-115`), nnUNet-style numeric module indices inside
+    down_projection/up_projection."""
+    import torch
+
+    sd = {}
+    t = lambda *s: torch.from_numpy(
+        rng.standard_normal(s).astype(np.float32)
+    )
+    d = cfg.embed_dim
+    hd = cfg.head_dim
+    hidden = cfg.mlp_hidden
+    sd["eva.pos_embed"] = t(1, cfg.num_tokens, d)
+    sd["register_tokens"] = t(1, cfg.num_register_tokens, d)
+    for i in range(cfg.eva_depth):
+        b = f"eva.blocks.{i}"
+        sd[f"{b}.norm1.weight"] = t(d)
+        sd[f"{b}.norm1.bias"] = t(d)
+        sd[f"{b}.attn.q_proj.weight"] = t(d, d)
+        sd[f"{b}.attn.q_bias"] = t(d)
+        sd[f"{b}.attn.k_proj.weight"] = t(d, d)
+        sd[f"{b}.attn.v_proj.weight"] = t(d, d)
+        sd[f"{b}.attn.v_bias"] = t(d)
+        sd[f"{b}.attn.proj.weight"] = t(d, d)
+        sd[f"{b}.attn.proj.bias"] = t(d)
+        sd[f"{b}.attn.q_norm.weight"] = t(hd)
+        sd[f"{b}.attn.q_norm.bias"] = t(hd)
+        sd[f"{b}.attn.k_norm.weight"] = t(hd)
+        sd[f"{b}.attn.k_norm.bias"] = t(hd)
+        sd[f"{b}.attn.norm.weight"] = t(d)
+        sd[f"{b}.attn.norm.bias"] = t(d)
+        sd[f"{b}.gamma_1"] = t(d)
+        sd[f"{b}.gamma_2"] = t(d)
+        sd[f"{b}.norm2.weight"] = t(d)
+        sd[f"{b}.norm2.bias"] = t(d)
+        sd[f"{b}.mlp.w1.weight"] = t(hidden, d)
+        sd[f"{b}.mlp.w1.bias"] = t(hidden)
+        sd[f"{b}.mlp.w2.weight"] = t(hidden, d)
+        sd[f"{b}.mlp.w2.bias"] = t(hidden)
+        sd[f"{b}.mlp.w3.weight"] = t(d, hidden)
+        sd[f"{b}.mlp.w3.bias"] = t(d)
+    sd["eva.norm.weight"] = t(d)
+    sd["eva.norm.bias"] = t(d)
+
+    # tokenizer convs, torch Conv3d layout (O, I, kD, kH, kW)
+    base = cfg.tokenizer_base_features
+    sd["down_projection.encoder.0.weight"] = t(base, cfg.input_channels,
+                                               3, 3, 3)
+    sd["down_projection.encoder.0.bias"] = t(base)
+    ch = base
+    mod = 1
+    for level, depth in enumerate(cfg.tokenizer_depth_per_level):
+        out_ch = min(ch * 2, cfg.embed_dim)
+        sd[f"down_projection.encoder.{mod}.weight"] = t(out_ch, ch, 3, 3, 3)
+        sd[f"down_projection.encoder.{mod}.bias"] = t(out_ch)
+        mod += 1
+        for _ in range(depth):
+            for _c in range(2):
+                sd[f"down_projection.encoder.{mod}.weight"] = t(
+                    out_ch, out_ch, 3, 3, 3
+                )
+                sd[f"down_projection.encoder.{mod}.bias"] = t(out_ch)
+                mod += 1
+        ch = out_ch
+    sd[f"down_projection.encoder.{mod}.weight"] = t(cfg.embed_dim, ch,
+                                                    1, 1, 1)
+    sd[f"down_projection.encoder.{mod}.bias"] = t(cfg.embed_dim)
+
+    # decoder, torch ConvTranspose3d layout (I, O, kD, kH, kW)
+    import math
+
+    n_up = int(round(math.log2(cfg.patch_embed_size[0])))
+    ch = cfg.embed_dim
+    for i in range(n_up):
+        out_ch = cfg.num_classes if i == n_up - 1 else max(ch // 2, 32)
+        sd[f"up_projection.decode.{i}.weight"] = t(ch, out_ch, 2, 2, 2)
+        sd[f"up_projection.decode.{i}.bias"] = t(out_ch)
+        ch = out_ch
+    return sd
+
+
+def test_convert_primus_state_dict_full_coverage(tiny):
+    """A synthetic upstream-layout state dict converts with zero unmapped
+    source keys and zero unfilled targets, producing the exact runtime
+    param-tree structure (VERDICT r1 item 4a)."""
+    from anatomix_tpu.models.vit3d.convert import convert_primus_state_dict
+
+    cfg, ref_params = tiny
+    rng = np.random.default_rng(7)
+    sd = _synthetic_upstream_state_dict(cfg, rng)
+    params, unmapped, unfilled = convert_primus_state_dict(cfg, sd)
+    assert unmapped == [], unmapped
+    assert unfilled == [], unfilled
+
+    # identical tree structure + leaf shapes as a fresh init
+    ref_leaves = jax.tree_util.tree_leaves_with_path(ref_params)
+    got = dict(
+        (jax.tree_util.keystr(p), np.asarray(v).shape)
+        for p, v in jax.tree_util.tree_leaves_with_path(params)
+    )
+    for path, leaf in ref_leaves:
+        ks = jax.tree_util.keystr(path)
+        assert ks in got, f"missing converted leaf {ks}"
+        assert got[ks] == leaf.shape, (ks, got[ks], leaf.shape)
+    assert len(got) == len(ref_leaves)
+
+    # spot-check the layout transforms
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["q_proj"]["w"]),
+        sd["eva.blocks.0.attn.q_proj.weight"].numpy().T,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["tokenizer"]["stem"]["w"]),
+        sd["down_projection.encoder.0.weight"].numpy().transpose(
+            2, 3, 4, 1, 0
+        ),
+    )
+
+    # converted params run end-to-end
+    x = jnp.asarray(
+        rng.standard_normal((1,) + tuple(cfg.input_shape) + (1,)).astype(
+            np.float32
+        )
+    )
+    out = primus_apply(cfg, jax.tree_util.tree_map(jnp.asarray, params), x)
+    assert out.shape == (1, 16, 16, 16, cfg.num_classes)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_decoder_matches_torch_convtranspose():
+    """The converter's ConvTranspose3d mapping reproduces torch numerics
+    through `lax.conv_transpose` (the decoder's op)."""
+    import torch
+
+    from anatomix_tpu.models.vit3d.convert import _deconv_t
+
+    torch.manual_seed(0)
+    tc = torch.nn.ConvTranspose3d(6, 5, 2, stride=2)
+    x = torch.randn(2, 6, 4, 4, 4)
+    ref = tc(x).detach().numpy()
+    w = jnp.asarray(_deconv_t(tc.weight.detach().numpy()))
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    y = jax.lax.conv_transpose(
+        xj, w, strides=(2, 2, 2), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + jnp.asarray(tc.bias.detach().numpy())
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 4, 1, 2, 3), ref, atol=1e-5
+    )
+
+
+def test_flash_attention_matches_einsum():
+    """The padded/segment-masked flash path equals plain softmax attention
+    (interpret mode on CPU; covers the N % block != 0 masking)."""
+    import math as _math
+
+    import jax.experimental.pallas.tpu as pltpu
+
+    from anatomix_tpu.models.vit3d.primus import _flash_attention
+
+    rng = np.random.default_rng(0)
+    B, H, N, hd = 1, 2, 500, 32  # pads N->768, hd->128
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, H, N, hd)).astype(np.float32))
+        for _ in range(3)
+    )
+    scale = 1.0 / _math.sqrt(hd)
+    with pltpu.force_tpu_interpret_mode():
+        out = _flash_attention(q, k, v, scale)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    ref = jnp.einsum(
+        "bhnm,bhmd->bhnd", jax.nn.softmax(logits, axis=-1), v
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
+    )
