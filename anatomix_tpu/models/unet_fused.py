@@ -22,10 +22,12 @@ lost ~45 of its 58 ms to layout glue: the three act+repack
   time. Encoder skip taps land on act-layer indices, whose values are
   unchanged by the absorption.
 
-Supported configs: batch/none norm (folded), nearest interp, Max/Avg pool,
-reflect/zeros padding, no intra-block residuals — i.e. the flagship
-`anatomix` 6M model (reference `network.py:210-548` semantics). Other
-configs fall back to the standard XLA path.
+Supported configs: batch/none norm (folded at prepack) and instance norm
+(live block-aware stats), nearest and trilinear interp, Max/Avg pool,
+reflect/zeros padding, no intra-block residuals — i.e. both the flagship
+`anatomix` 6M model and the 94M `anatomix-dev` (reference
+`network.py:210-548` semantics). Other configs fall back to the standard
+XLA path (see `extract.py` routing).
 """
 
 from __future__ import annotations
