@@ -182,6 +182,11 @@ class H5TwoViewDataset:
         self.train = train
 
     def __len__(self):
+        # padded up to batch_size so one epoch always yields >= 1 full
+        # batch; with fewer subjects than batch_size a batch can repeat a
+        # subject (the reference drops incomplete batches instead,
+        # `data/__init__.py:95` drop_last — different views/augs per
+        # occurrence keep the repeats non-degenerate)
         return max(len(self.subjects), self.cfg.batch_size)
 
     def get(self, item: int, rng: np.random.Generator):

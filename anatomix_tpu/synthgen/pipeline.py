@@ -312,3 +312,44 @@ def generate_training_data(
     )
     run_step3(views_dir, labels_dir, h5_dir, val_count=val_count)
     return os.path.join(h5_dir, "train_data.hdf5")
+
+
+def main(argv=None):
+    """CLI driver for the full synthesis pipeline (the reference runs
+    step0..step3 as separate scripts chained by
+    `generate_training_data.sh`; step0 is exposed via --step0_subjects)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="anatomix synthetic training-data generation"
+    )
+    p.add_argument("template_dir", help="organ label templates (*.nii.gz)")
+    p.add_argument("work_dir")
+    p.add_argument("--n_vols", type=int, default=100,
+                   help="label ensembles to synthesize (reference: 120000)")
+    p.add_argument("--val_count", type=int, default=0)
+    p.add_argument("--sidelen", type=int, default=128)
+    p.add_argument("--max_workers", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--step0_subjects", type=str, default=None,
+                   help="TotalSegmentator root: run the step0 rib/vertebra "
+                        "merge into template_dir first")
+    args = p.parse_args(argv)
+
+    if args.step0_subjects:
+        subjects = sorted(
+            d for d in glob(os.path.join(args.step0_subjects, "*"))
+            if os.path.isdir(d)
+        )
+        for sub in subjects:
+            merge_vertebrae_and_ribs(sub, args.template_dir)
+    out = generate_training_data(
+        args.template_dir, args.work_dir, args.n_vols,
+        val_count=args.val_count, sidelen=args.sidelen,
+        max_workers=args.max_workers, seed=args.seed,
+    )
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Real-TPU numerics tier (VERDICT r1 item 10).
+
+The default CI suite validates the Pallas kernels only in interpret mode on
+CPU (which emulates bf16 dot numerics); this tier re-checks them with the
+real Mosaic compiler on the bench chip so kernel regressions (tile layouts,
+DMA alignment, segment-id masking) are caught by a repeatable test instead
+of ad-hoc bench runs.
+
+Run: ANATOMIX_TPU_TESTS=1 python -m pytest tests/test_tpu_numerics.py -m tpu -q
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _rel_err(got, ref32):
+    got = np.asarray(got, np.float32)
+    ref = np.asarray(ref32, np.float32)
+    return float(np.abs(got - ref).mean() / (ref.std() + 1e-8))
+
+
+@pytest.fixture(scope="module")
+def vol128():
+    return jax.jit(
+        lambda k: jax.random.normal(k, (1, 128, 128, 128, 1), jnp.float32)
+    )(jax.random.PRNGKey(0))
+
+
+def test_fused_unet_matches_xla_6m(vol128):
+    """Fused block-space Pallas UNet (bf16) tracks the f32 XLA ground truth
+    as closely as the bf16 XLA path does (PERF.md: 1.05% vs 1.01%)."""
+    from anatomix_tpu.extract import make_feature_extractor
+    from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=4,
+                   ngf=16)
+    )
+    params = init_params(plan, jax.random.PRNGKey(1))
+
+    def run(conv_impl, dtype):
+        ext = make_feature_extractor(
+            plan, params, strategy="full", conv_impl=conv_impl,
+            compute_dtype=dtype,
+        )
+        return np.asarray(ext.impl(vol128, ext.arrays))
+
+    ref32 = run("xla", jnp.float32)
+    xla_bf16 = run("xla", jnp.bfloat16)
+    fused = run("pallas_fused", jnp.bfloat16)
+
+    e_xla = _rel_err(xla_bf16, ref32)
+    e_fused = _rel_err(fused, ref32)
+    assert e_fused < 3e-2, f"fused error {e_fused:.4f}"
+    assert e_fused < 2.5 * e_xla + 1e-3, (
+        f"fused {e_fused:.4f} vs xla-bf16 {e_xla:.4f}"
+    )
+
+
+def test_fused_unet_instance_norm_trilinear():
+    """The dev-model fused path (live instance norms + trilinear decoders)
+    matches the f32 XLA path on hardware."""
+    from anatomix_tpu.extract import make_feature_extractor
+    from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=32, num_downs=3,
+                   ngf=32, norm="instance", pooling="Avg",
+                   interp="trilinear", norm_eps=1e-2)
+    )
+    params = init_params(plan, jax.random.PRNGKey(2))
+    vol = jax.jit(
+        lambda k: jax.random.normal(k, (1, 64, 64, 64, 1), jnp.float32)
+    )(jax.random.PRNGKey(3))
+
+    def run(conv_impl, dtype):
+        ext = make_feature_extractor(
+            plan, params, strategy="full", conv_impl=conv_impl,
+            compute_dtype=dtype,
+        )
+        return np.asarray(ext.impl(vol, ext.arrays))
+
+    ref32 = run("xla", jnp.float32)
+    fused = run("pallas_fused", jnp.bfloat16)
+    assert _rel_err(fused, ref32) < 3e-2
+
+
+def test_train_conv_grads_match_xla_hw():
+    """Custom-VJP sparse training convs: value + dx/dw/db grads vs XLA on
+    real hardware (the CI variant runs interpret-mode only)."""
+    from anatomix_tpu.ops.conv import conv3d
+    from anatomix_tpu.ops.pallas.conv_block_train import conv3x3_same_train
+
+    rng = np.random.default_rng(0)
+    ci, co = 16, 16
+    x = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 16, ci)).astype(np.float32)
+    )
+    w = jnp.asarray(
+        rng.standard_normal((3, 3, 3, ci, co)).astype(np.float32) * 0.1
+    )
+    b = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+    t = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 16, co)).astype(np.float32)
+    )
+
+    def loss_ref(x, w, b):
+        y = jnp.maximum(
+            conv3d(x, w, b, padding="SAME", pad_type="reflect",
+                   compute_dtype=jnp.float32), 0
+        )
+        return jnp.sum((y - t) ** 2)
+
+    def loss_fused(x, w, b):
+        y = conv3x3_same_train(
+            x, w, b, act="relu", pad_type="reflect",
+            compute_dtype=jnp.float32,
+        )
+        return jnp.sum((y - t) ** 2)
+
+    ref_val, ref_g = jax.jit(
+        jax.value_and_grad(loss_ref, argnums=(0, 1, 2))
+    )(x, w, b)
+    got_val, got_g = jax.jit(
+        jax.value_and_grad(loss_fused, argnums=(0, 1, 2))
+    )(x, w, b)
+    assert abs(float(got_val) - float(ref_val)) / abs(float(ref_val)) < 1e-2
+    for name, r, g in zip("xwb", ref_g, got_g):
+        r, g = np.asarray(r), np.asarray(g)
+        denom = np.abs(r).max() + 1e-8
+        assert np.abs(g - r).max() / denom < 2e-2, f"d{name}"
+
+
+def test_flash_attention_matches_einsum_hw():
+    """The real flash kernel (used for N >= 1024 on TPU) vs the einsum
+    softmax path, including the pad + segment-id masking (N=4104 is the
+    128³/8³-patch + 8 registers production shape)."""
+    from anatomix_tpu.models.vit3d.primus import _flash_attention
+
+    B, H, N, hd = 1, 2, 4104, 64
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv = jax.random.split(key, 3)
+    mk = lambda k: jax.random.normal(k, (B, H, N, hd), jnp.float32)
+    q, k, v = mk(kq), mk(kk), mk(kv)
+    scale = 1.0 / math.sqrt(hd)
+
+    @jax.jit
+    def flash(q, k, v):
+        return _flash_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), scale,
+        )
+
+    @jax.jit
+    def ref(q, k, v):
+        logits = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum(
+            "bhnm,bhmd->bhnd", attn, v,
+            preferred_element_type=jnp.float32,
+        )
+
+    out = np.asarray(flash(q, k, v), np.float32)
+    want = np.asarray(ref(q, k, v), np.float32)
+    assert _rel_err(out, want) < 2e-2
