@@ -18,8 +18,18 @@ does not reliably block and every dispatch costs a ~28 ms round trip.
 
 import json
 import os
+import sys
+import time as _walltime
 
 import jax
+
+_T0 = _walltime.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Stage timestamps on stderr (stdout stays the single JSON line)."""
+    print(f"[bench +{_walltime.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 # persistent compile cache: the axon tunnel recompiles everything per
 # process (~20 min cold for the full bench); the cache cuts warm runs to
@@ -54,6 +64,7 @@ def main():
         plan, params, strategy="full", compute_dtype=compute_dtype
     )
     t_full = pipeline_time(extract_full, vol256, n=4, reps=3)
+    _progress("6M full-volume 256 done: %.3fs" % t_full)
 
     # --- reference-exact sliding-window mode ----------------------------------
     extract_sw = make_feature_extractor(
@@ -61,6 +72,7 @@ def main():
         sw_batch_size=4, overlap=0.8, compute_dtype=compute_dtype,
     )
     t_sw = pipeline_time(extract_sw, vol256, n=1, reps=2)
+    _progress("6M sliding 256 done: %.3fs" % t_sw)
 
     # --- 128³ patch throughput (fused block-space Pallas path) ---------------
     from anatomix_tpu.models.unet_fused import prepack_fused, unet_apply_fused
@@ -78,6 +90,7 @@ def main():
         ]
 
     t_patch = amortized_time(fwd, x128, n=8, reps=3)
+    _progress("6M fused fwd done: %.4fs" % t_patch)
 
     # --- registration pair latency (post-feature solver, the reference's
     # 'case time' bracket) on a 192³ pair, reference defaults ------------------
@@ -90,6 +103,7 @@ def main():
     size = 192
     fixed = rng.random((size,) * 3).astype(np.float32) * 500
     moving = rng.random((size,) * 3).astype(np.float32) * 500
+    _progress("starting registration solver")
     _, t_reg = register_pair(
         fixed, moving, plan, params,
         grid_sp=2, disp_hw=1, selected_niter=80, grid_sp_adam=2, ic=True,
@@ -135,6 +149,55 @@ def main():
         float(m["loss"])
         steps.append((_t.perf_counter() - t0) / 3)
     t_step = max(min(steps) - dispatch_floor(), 1e-9)
+    _progress("pretrain step done: %.3fs" % t_step)
+
+    # --- anatomix-dev 94M UNet (instance norm): 128³ fwd + 256³ extraction
+    # via the full_tiled strategy (per-tile IN stats ≈ per-window stats at
+    # 1/27th the overlap-0.8 FLOPs; parity quantified in
+    # tests/test_extract.py::test_full_tiled_vs_sliding) --------------------
+    from anatomix_tpu.models.registry import ANATOMIX_VARIANTS
+
+    dev_plan = build_plan(
+        UnetConfig(**ANATOMIX_VARIANTS["anatomix-dev"]["unet_kwargs"])
+    )
+    dev_params = init_params(dev_plan, jax.random.PRNGKey(6))
+    ext_dev128 = make_feature_extractor(
+        dev_plan, dev_params, strategy="full_tiled",
+        roi_size=(128, 128, 128), compute_dtype=compute_dtype,
+    )
+    _progress("starting dev 94M sections")
+    t_dev_fwd = pipeline_time(
+        ext_dev128.impl, x128.astype(jnp.float32), n=4, reps=3,
+        args=(ext_dev128.arrays,),
+    )
+    t_dev256 = pipeline_time(
+        ext_dev128.impl, vol256, n=2, reps=2, args=(ext_dev128.arrays,),
+    )
+    _progress("dev 256 full_tiled done: %.3fs" % t_dev256)
+
+    # --- anatomix-dev-vit 26M ViT: 128³ fwd + reference-exact 256³ sliding
+    # (the ViT is input-shape-bound, README.md:47) --------------------------
+    from anatomix_tpu.models.vit3d import load_primus_v2, primus_apply
+
+    vit_cfg, vit_params = load_primus_v2(
+        ANATOMIX_VARIANTS["anatomix-dev-vit"]["vit_kwargs"]
+    )
+
+    def vit_fwd(v, p):
+        return primus_apply(vit_cfg, p, v, compute_dtype=compute_dtype)
+
+    _progress("starting ViT sections")
+    t_vit_fwd = pipeline_time(
+        vit_fwd, x128.astype(jnp.float32), n=4, reps=3, args=(vit_params,)
+    )
+    ext_vit = make_feature_extractor(
+        vit_cfg, vit_params, sw_batch_size=4, overlap=0.8,
+        compute_dtype=compute_dtype,
+    )
+    t_vit256 = pipeline_time(
+        ext_vit.impl, vol256, n=1, reps=2, args=(ext_vit.arrays,)
+    )
+    _progress("vit sliding 256 done: %.3fs" % t_vit256)
 
     result = {
         "metric": "feature_extraction_256ct_seconds_per_chip",
@@ -146,6 +209,10 @@ def main():
             "patches_128_per_sec_per_chip": round(1.0 / t_patch, 2),
             "registration_solver_seconds_192": round(t_reg, 2),
             "pretrain_step_seconds_128crop": round(t_step, 3),
+            "dev_unet_fwd_seconds_128": round(t_dev_fwd, 4),
+            "dev_unet_full_tiled_256_seconds": round(t_dev256, 3),
+            "vit_fwd_seconds_128": round(t_vit_fwd, 4),
+            "vit_sliding_256_seconds": round(t_vit256, 3),
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },
