@@ -49,6 +49,7 @@ from anatomix_tpu.ops.pallas.conv3x3 import (
     prepack_conv,
 )
 from anatomix_tpu.ops.pallas.conv_block import (
+    _apply_act,
     conv_block_sparse,
     conv_block_sparse_skip,
     prepack_sparse,
@@ -72,6 +73,35 @@ _EPILOGUE_ACTS = ("relu", "lrelu", "elu", "tanh", "none")
 # sparse block weights (64*Ci*8*Co*2 bytes) must fit scoped VMEM next to
 # the tiles; 192->64 (12.6 MB) compiles and wins, 128->128 (16.8 MB) won't
 _SPARSE_W_BYTES_MAX = 13 * 2 ** 20
+
+# Negative results, kept switchable for re-testing (defaults OFF):
+# ENTRY4 — the entry stage as ONE XLA stride-2 4^3 conv emitting the block
+# tensor. Wins in isolation (0.093 vs 0.155 ms, tools/_exp_entry.py) but
+# in the full graph XLA must deliver the conv output in the pallas
+# custom-call's forced default layout: the conv runs 5 ms + a 3.1 ms
+# relayout copy vs 1.84 ms for s2d+dense-kernel (device traces, PERF.md).
+# EMIT_FULL — final sparse conv stores straight into d2s layout; its
+# 2C=32-lane output tile pads to 128 lanes (4x write waste, +0.5 ms) and
+# the "free" host-side reshape materializes a 1.29 ms relayout.
+import os as _os
+
+_ENTRY4 = _os.environ.get("ANATOMIX_ENTRY4", "0") == "1"
+_EMIT_FULL = _os.environ.get("ANATOMIX_EMIT_FULL", "0") == "1"
+
+
+def entry_block_weights(w: np.ndarray) -> np.ndarray:
+    """DHWIO (3,3,3,Ci,Co) -> (4,4,4,Ci,8Co) stride-2 block-conv weights:
+    out[i,j,k,(ad,ah,aw)*Co+c] = sum_t W4[t,...]*x[2i+t-1,...], i.e. the
+    entry conv and the following space-to-depth in one conv."""
+    w = np.asarray(w, np.float32)
+    ci, co = w.shape[3], w.shape[4]
+    W4 = np.zeros((4, 4, 4, ci, 8 * co), np.float32)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                g = ((ad * 2 + ah) * 2 + aw) * co
+                W4[ad:ad + 3, ah:ah + 3, aw:aw + 3, :, g:g + co] += w
+    return W4
 
 
 def supports_fusion(cfg) -> bool:
@@ -110,7 +140,7 @@ def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
             return "sparse_skip"
     sparse_w = 64 * cin * 8 * cout * 2
     if even and cin < 8:
-        return "block_dense"
+        return "entry4" if _ENTRY4 else "block_dense"
     if even and cin % 16 == 0 and sparse_w <= _SPARSE_W_BYTES_MAX:
         return "sparse"
     direct_w = 9 * -(-cin // 128) * 3 * -(-cout // 128) * 128 * 128 * 2
@@ -180,7 +210,16 @@ def prepack_fused(plan: UnetPlan, params: dict[str, Any],
         p = new_params[str(idx)]
         w = np.asarray(p["w"])
         b = np.asarray(p["b"]) if "b" in p else None
-        if impl == "sparse_skip":
+        if impl == "entry4":
+            co = w.shape[-1]
+            b_eff = np.zeros((co,), np.float32) if b is None else b
+            p["fused"] = dict(
+                w4=jnp.asarray(entry_block_weights(w)).astype(compute_dtype),
+                b8=jnp.asarray(np.tile(b_eff, 8).astype(np.float32))[None],
+                act=act,
+                impl="entry4",
+            )
+        elif impl == "sparse_skip":
             p["fused"] = dict(
                 prepack_sparse_skip(
                     w, b, c1=c1, act=act, compute_dtype=compute_dtype
@@ -334,6 +373,22 @@ def unet_apply_fused(
     final_act = get_activation(cfg.final_act)
     consumed = params.get("__consumed_acts__", set())
 
+    # tail conv: the last conv with only folded/consumed layers after it
+    # can store straight into depth-to-space layout (fuses the exit d2s)
+    tail_conv = None if _EMIT_FULL else -1
+    for t in range(plan.num_layers - 1, -1, -1):
+        if tail_conv == -1:
+            break
+        kind = plan.layers[t].kind
+        if kind == "conv":
+            tail_conv = t
+            break
+        if kind == "identity" or (
+            kind in ("act", "final_act") and t in consumed
+        ):
+            continue
+        break
+
     feat = x.astype(compute_dtype)
     in_block = False
     enc_feats: list[tuple[jax.Array, bool]] = []
@@ -360,6 +415,22 @@ def unet_apply_fused(
                     interpret=interpret,
                 )
                 in_block = True
+            elif impl == "entry4":
+                # entry conv + space-to-depth as ONE stride-2 4^3 XLA conv
+                mode = "reflect" if cfg.pad_type == "reflect" else "constant"
+                xp = jnp.pad(
+                    feat, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)),
+                    mode=mode,
+                )
+                z = jax.lax.conv_general_dilated(
+                    xp.astype(compute_dtype), packed["w4"],
+                    window_strides=(2, 2, 2), padding="VALID",
+                    dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                    preferred_element_type=jnp.float32,
+                )
+                z = z + packed["b8"][0]
+                feat = _apply_act(z, packed["act"]).astype(compute_dtype)
+                in_block = True
             elif impl in ("sparse", "block_dense"):
                 if not in_block:
                     feat = _s2d(feat, interpret)
@@ -367,8 +438,10 @@ def unet_apply_fused(
                 if impl == "sparse":
                     feat = conv_block_sparse(
                         feat, packed, pad_type=cfg.pad_type,
-                        interpret=interpret,
+                        interpret=interpret, emit_full=idx == tail_conv,
                     )
+                    if idx == tail_conv:
+                        in_block = False
                 else:
                     feat = _conv_block_dense(
                         feat, packed, cfg.pad_type, compute_dtype,

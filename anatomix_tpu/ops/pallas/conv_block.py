@@ -56,7 +56,7 @@ def _apply_act(acc, act: str):
 
 
 def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
-            td, th, W, ci, act, interpret):
+            td, th, W, ci, act, interpret, emit_full=False):
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -104,7 +104,18 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
             acc = z if acc is None else acc + z
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
-    out_ref[0] = acc.astype(out_ref.dtype)
+    if emit_full:
+        # write straight into the depth-to-space 6-D view: each (ad, ah)
+        # plane is one contiguous 2Co lane group (see ops/pallas/reshuffle)
+        co2 = out_ref.shape[-1]
+        for a in range(2):
+            for b2 in range(2):
+                g = (a * 2 + b2) * co2
+                out_ref[0, :, a, :, b2] = acc[..., g: g + co2].astype(
+                    out_ref.dtype
+                )
+    else:
+        out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
@@ -169,7 +180,7 @@ def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=24 * 2 ** 20):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("act", "out_dtype", "interpret", "out_w"),
+    static_argnames=("act", "out_dtype", "interpret", "out_w", "emit_full"),
 )
 def conv_block_sparse_valid(
     x_block_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), 8*Ci) halo'd
@@ -183,10 +194,14 @@ def conv_block_sparse_valid(
     interpret: bool = False,
     out_w: int | None = None,   # true output w when the pad included an
                                 # alignment tail (merged single-pad path)
+    emit_full: bool = False,    # emit the depth-to-space'd full-res tensor
+                                # (B, 2d, 2h, 2w, Co) directly (fuses the
+                                # exit d2s into the final conv's store)
 ) -> jax.Array:
     """Block-space 'valid' 3^3 conv + bias + act:
-    returns (B, d, h, w, 8*Co). Batch is a grid dimension (vmap cannot
-    batch pl.ANY inputs with manual DMA)."""
+    returns (B, d, h, w, 8*Co), or (B, 2d, 2h, 2w, Co) with `emit_full`.
+    Batch is a grid dimension (vmap cannot batch pl.ANY inputs with manual
+    DMA)."""
     B, dp, hp, wp0, c8 = x_block_padded.shape
     ci = c8 // 8
     co8 = w1.shape[-1]
@@ -205,9 +220,25 @@ def conv_block_sparse_valid(
         d, h, Wp, ci, co8 // 8, itemsize=x_block_padded.dtype.itemsize
     )
     kernel = functools.partial(_kernel, td=td, th=th, W=w, ci=ci, act=act,
-                               interpret=interpret)
+                               interpret=interpret, emit_full=emit_full)
     flops = 2 * B * d * h * w * 64 * ci * co8
-    return pl.pallas_call(
+    if emit_full:
+        co = co8 // 8
+        out_specs = pl.BlockSpec(
+            (1, td, 2, th, 2, w, 2 * co),
+            lambda b, i, j: (b, i, 0, j, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (B, d, 2, h, 2, w, 2 * co), out_dtype
+        )
+    else:
+        out_specs = pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype)
+    out = pl.pallas_call(
         kernel,
         grid=(B, d // td, h // th),
         in_specs=[
@@ -217,11 +248,8 @@ def conv_block_sparse_valid(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block_padded.dtype),
             pltpu.SemaphoreType.DMA,
@@ -236,6 +264,11 @@ def conv_block_sparse_valid(
         ),
         interpret=interpret,
     )(x_block_padded, w0, w1, w2, bias8)
+    if emit_full:
+        # (d, 2, h, 2, w, 2C) -> (2d, 2h, 2w, C): contiguous merge, free
+        co = co8 // 8
+        out = out.reshape(B, 2 * d, 2 * h, 2 * w, co)
+    return out
 
 
 def prepack_sparse(
@@ -269,6 +302,7 @@ def conv_block_sparse(
     *,
     pad_type: str = "zeros",
     interpret: bool = False,
+    emit_full: bool = False,
 ) -> jax.Array:
     """'Same'-padded sparse block conv: 1-block halo (edge == full-res
     reflect; zeros == full-res zeros), then the valid kernel."""
@@ -290,7 +324,7 @@ def conv_block_sparse(
     return conv_block_sparse_valid(
         xp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
         act=packed["act"], out_dtype=x_block.dtype, interpret=interpret,
-        out_w=x_block.shape[3],
+        out_w=x_block.shape[3], emit_full=emit_full,
     )
 
 
