@@ -24,7 +24,32 @@ from anatomix_tpu.ops.pallas.conv_block import (
     _OFF, _PAR, _apply_act, _pick_tile, _VMEM_LIMIT,
     conv_block_sparse, prepack_sparse, pack_sparse_block_weights,
 )
-from anatomix_tpu.utils.benchtools import amortized_time
+from anatomix_tpu.utils.benchtools import dispatch_floor
+import time as _time
+
+
+def chained_time(f, xp, n=64, reps=3):
+    """True-dependency chain: f's output is padded back to input shape
+    and fed to the next call (unchained probes under-read through the
+    tunnel; see PERF.md timing traps)."""
+    def many(v):
+        def body(_, acc):
+            out = f(acc)
+            return jnp.pad(out, ((0, 0), (1, 1), (1, 1), (1, 7), (0, 0)),
+                           mode="edge")
+        out = jax.lax.fori_loop(0, n, body, v)
+        return jnp.sum(out.astype(jnp.float32))
+
+    floor = dispatch_floor()
+    m = jax.jit(many)
+    float(m(xp))
+    times = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        float(m(xp))
+        times.append(_time.perf_counter() - t0)
+    times.sort()
+    return max(times[len(times) // 2] - floor, 1e-9) / n
 
 
 def _kernel_var(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, wi_ref, out_ref,
@@ -188,6 +213,11 @@ def main():
     to_dev = lambda a: jnp.asarray(np.asarray(a)).astype(jnp.bfloat16)
     ref = conv_block_sparse(x, packed, pad_type="reflect")
 
+    # pad-only chain baseline (the chain bridge adds one pad per iter)
+    t_pad = chained_time(lambda v: v[:, 1:-1, 1:-1, 1:65, :], xp, n=64,
+                         reps=3)
+    print(f"pad-only chain: {t_pad*1e3:.3f} ms/iter", flush=True)
+
     flops = 2 * 64 ** 3 * 64 * ci * 8 * co
     for variant in ("v0", "v1", "v2", "v4"):
         w1_use = to_dev(w1e if variant == "v4" else w1n)
@@ -200,8 +230,9 @@ def main():
         err = float(jnp.max(jnp.abs(
             y.astype(jnp.float32) - ref.astype(jnp.float32)
         )))
-        t = amortized_time(g, xp, n=16, reps=3)
-        print(f"{variant}: {t*1e3:.3f} ms  {flops/t/1e12:5.1f} TF/s nom  "
+        t = chained_time(g, xp, n=64, reps=3)
+        tc = max(t - t_pad, 1e-9)
+        print(f"{variant}: {tc*1e3:.3f} ms  {flops/tc/1e12:5.1f} TF/s nom  "
               f"maxerr {err:.2e}", flush=True)
 
 
