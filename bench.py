@@ -190,8 +190,11 @@ def main():
     t_vit_fwd = pipeline_time(
         vit_fwd, x128.astype(jnp.float32), n=4, reps=3, args=(vit_params,)
     )
+    # sw_batch 1: the ViT forward is 1.5x cheaper per window unbatched
+    # (29.7 vs 44.4 ms/window at B=4, tools/_exp_vitb.py); results are
+    # batch-invariant so this is purely an execution knob
     ext_vit = make_feature_extractor(
-        vit_cfg, vit_params, sw_batch_size=4, overlap=0.8,
+        vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
         compute_dtype=compute_dtype,
     )
     t_vit256 = pipeline_time(
