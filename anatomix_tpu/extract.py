@@ -169,7 +169,8 @@ def make_feature_extractor(
     *,
     strategy: str = "sliding",
     roi_size=(128, 128, 128),
-    sw_batch_size: int = 2,
+    sw_batch_size: int | None = None,  # auto: 2 (reference default); 1 for the ViT
+                                       # (batching windows is 1.5x slower there)
     overlap: float = 0.8,
     mode: str = "gaussian",
     sigma_scale: float = 0.25,
@@ -225,7 +226,7 @@ def make_feature_extractor(
                 vit_window_fn,
                 vit_cfg.num_classes,
                 roi_size=vit_cfg.input_shape,
-                sw_batch_size=sw_batch_size,
+                sw_batch_size=sw_batch_size or 1,
                 overlap=overlap,
                 mode=mode,
                 sigma_scale=sigma_scale,
@@ -351,7 +352,7 @@ def make_feature_extractor(
             lambda windows: window_fn(p, windows),
             out_channels,
             roi_size=roi_size,
-            sw_batch_size=sw_batch_size,
+            sw_batch_size=sw_batch_size or 2,
             overlap=overlap,
             mode=mode,
             sigma_scale=sigma_scale,
