@@ -375,19 +375,18 @@ def unet_apply_fused(
 
     # tail conv: the last conv with only folded/consumed layers after it
     # can store straight into depth-to-space layout (fuses the exit d2s)
-    tail_conv = None if _EMIT_FULL else -1
-    for t in range(plan.num_layers - 1, -1, -1):
-        if tail_conv == -1:
+    tail_conv = None
+    if _EMIT_FULL:
+        for t in range(plan.num_layers - 1, -1, -1):
+            kind = plan.layers[t].kind
+            if kind == "conv":
+                tail_conv = t
+                break
+            if kind == "identity" or (
+                kind in ("act", "final_act") and t in consumed
+            ):
+                continue
             break
-        kind = plan.layers[t].kind
-        if kind == "conv":
-            tail_conv = t
-            break
-        if kind == "identity" or (
-            kind in ("act", "final_act") and t in consumed
-        ):
-            continue
-        break
 
     feat = x.astype(compute_dtype)
     in_block = False

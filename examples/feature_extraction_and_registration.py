@@ -24,9 +24,18 @@ from __future__ import annotations
 import argparse
 import time
 
+import os
+
+# The examples are documented as CPU-runnable; on machines where a TPU
+# plugin overrides JAX_PLATFORMS (e.g. the axon tunnel), opt into the
+# accelerator explicitly with ANATOMIX_EXAMPLE_TPU=1.
+if os.environ.get("ANATOMIX_EXAMPLE_TPU") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
-# On machines without an accelerator, force CPU before jax initializes.
 import jax
 import jax.numpy as jnp
 

@@ -22,6 +22,14 @@ import dataclasses
 import os
 import tempfile
 
+# The examples are documented as CPU-runnable; on machines where a TPU
+# plugin overrides JAX_PLATFORMS (e.g. the axon tunnel), opt into the
+# accelerator explicitly with ANATOMIX_EXAMPLE_TPU=1.
+if os.environ.get("ANATOMIX_EXAMPLE_TPU") != "1":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 

@@ -61,6 +61,33 @@ def _toy_model(x):
     return jnp.tanh(x @ w)
 
 
+def _toy_model4(x):
+    """4-channel variant: 128 % 4 == 0, so the lane-folded scatter fast
+    path (fold > 1 with unaligned shifts) is exercised exactly."""
+    w = jnp.asarray(
+        np.linspace(-1, 1, x.shape[-1] * 4, dtype=np.float32).reshape(
+            x.shape[-1], 4
+        )
+    )
+    return jnp.tanh(x @ w)
+
+
+def test_stitching_matches_naive_oracle_folded(rng):
+    """out_channels=4 -> fold = gcd(32, W, roi) > 1: the shifted-canvas
+    aligned RMW path must match the naive oracle at unaligned starts."""
+    vol = rng.standard_normal((1, 40, 36, 32, 2), dtype=np.float32)
+    roi = (16, 16, 16)
+    imp = gaussian_importance_map(roi, 0.25)
+    ref = _naive_stitch(vol, _toy_model4, 4, roi, 0.5, imp)
+    got = np.asarray(
+        sliding_window_inference(
+            jnp.asarray(vol), _toy_model4, 4, roi_size=roi,
+            sw_batch_size=3, overlap=0.5, mode="gaussian",
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
 def test_stitching_matches_naive_oracle(rng):
     vol = rng.standard_normal((1, 40, 36, 33, 2), dtype=np.float32)
     roi = (16, 16, 16)
