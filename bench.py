@@ -31,6 +31,18 @@ def _progress(msg: str) -> None:
     print(f"[bench +{_walltime.perf_counter() - _T0:7.1f}s] {msg}",
           file=sys.stderr, flush=True)
 
+
+def _section(name: str, fn, default=None):
+    """Run one bench section; on failure record the error and keep going
+    so the driver always gets the JSON line (the tunnel can drop out
+    mid-run)."""
+    try:
+        return fn()
+    except Exception as e:  # noqa: BLE001 — resilience by design
+        _progress(f"SECTION FAILED {name}: {type(e).__name__}: "
+                  f"{str(e)[:200]}")
+        return default
+
 # persistent compile cache: the axon tunnel recompiles everything per
 # process (~20 min cold for the full bench); the cache cuts warm runs to
 # a few minutes and survives across driver invocations
@@ -67,12 +79,15 @@ def main():
     _progress("6M full-volume 256 done: %.3fs" % t_full)
 
     # --- reference-exact sliding-window mode ----------------------------------
-    extract_sw = make_feature_extractor(
-        plan, params, strategy="sliding", roi_size=(128, 128, 128),
-        sw_batch_size=4, overlap=0.8, compute_dtype=compute_dtype,
-    )
-    t_sw = pipeline_time(extract_sw, vol256, n=1, reps=2)
-    _progress("6M sliding 256 done: %.3fs" % t_sw)
+    def _sw():
+        extract_sw = make_feature_extractor(
+            plan, params, strategy="sliding", roi_size=(128, 128, 128),
+            sw_batch_size=4, overlap=0.8, compute_dtype=compute_dtype,
+        )
+        return pipeline_time(extract_sw, vol256, n=1, reps=2)
+
+    t_sw = _section("sliding", _sw)
+    _progress("6M sliding 256 done: %s" % t_sw)
 
     # --- 128³ patch throughput (fused block-space Pallas path) ---------------
     from anatomix_tpu.models.unet_fused import prepack_fused, unet_apply_fused
@@ -89,8 +104,9 @@ def main():
             ..., :1
         ]
 
-    t_patch = amortized_time(fwd, x128, n=8, reps=3)
-    _progress("6M fused fwd done: %.4fs" % t_patch)
+    t_patch = _section("fused_fwd",
+                       lambda: amortized_time(fwd, x128, n=8, reps=3))
+    _progress("6M fused fwd done: %s" % t_patch)
 
     # --- registration pair latency (post-feature solver, the reference's
     # 'case time' bracket) on a 192³ pair, reference defaults ------------------
@@ -104,11 +120,11 @@ def main():
     fixed = rng.random((size,) * 3).astype(np.float32) * 500
     moving = rng.random((size,) * 3).astype(np.float32) * 500
     _progress("starting registration solver")
-    _, t_reg = register_pair(
+    t_reg = _section("registration", lambda: register_pair(
         fixed, moving, plan, params,
         grid_sp=2, disp_hw=1, selected_niter=80, grid_sp_adam=2, ic=True,
         extract_strategy="full", compute_dtype=compute_dtype,
-    )
+    )[1])
 
     # --- pretraining step (reference config: 128³ crop, bs 1, 512 patches,
     # 6 NCE taps; differentiable Pallas sparse convs) ----------------------
@@ -137,19 +153,22 @@ def main():
     tsegs = jnp.asarray(
         rng.integers(0, 10, (1, 128, 128, 128, 1)).astype(np.int32)
     )
-    tstate, m = train_step(tstate, tviews, tsegs, jax.random.PRNGKey(5))
-    float(m["loss"])  # compile + sync
-    steps = []
-    for _ in range(2):
-        t0 = _t.perf_counter()
-        for _ in range(3):
-            tstate, m = train_step(
-                tstate, tviews, tsegs, jax.random.PRNGKey(5)
-            )
-        float(m["loss"])
-        steps.append((_t.perf_counter() - t0) / 3)
-    t_step = max(min(steps) - dispatch_floor(), 1e-9)
-    _progress("pretrain step done: %.3fs" % t_step)
+    def _pretrain():
+        st, m = train_step(tstate, tviews, tsegs, jax.random.PRNGKey(5))
+        float(m["loss"])  # compile + sync
+        steps = []
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            for _ in range(3):
+                st, m = train_step(
+                    st, tviews, tsegs, jax.random.PRNGKey(5)
+                )
+            float(m["loss"])
+            steps.append((_t.perf_counter() - t0) / 3)
+        return max(min(steps) - dispatch_floor(), 1e-9)
+
+    t_step = _section("pretrain_step", _pretrain)
+    _progress("pretrain step done: %s" % t_step)
 
     # --- anatomix-dev 94M UNet (instance norm): 128³ fwd + 256³ extraction
     # via the full_tiled strategy (per-tile IN stats ≈ per-window stats at
@@ -166,14 +185,14 @@ def main():
         roi_size=(128, 128, 128), compute_dtype=compute_dtype,
     )
     _progress("starting dev 94M sections")
-    t_dev_fwd = pipeline_time(
+    t_dev_fwd = _section("dev_fwd", lambda: pipeline_time(
         ext_dev128.impl, x128.astype(jnp.float32), n=4, reps=3,
         args=(ext_dev128.arrays,),
-    )
-    t_dev256 = pipeline_time(
+    ))
+    t_dev256 = _section("dev_256", lambda: pipeline_time(
         ext_dev128.impl, vol256, n=2, reps=2, args=(ext_dev128.arrays,),
-    )
-    _progress("dev 256 full_tiled done: %.3fs" % t_dev256)
+    ))
+    _progress("dev 256 full_tiled done: %s" % t_dev256)
 
     # --- anatomix-dev-vit 26M ViT: 128³ fwd + reference-exact 256³ sliding
     # (the ViT is input-shape-bound, README.md:47) --------------------------
@@ -187,20 +206,27 @@ def main():
         return primus_apply(vit_cfg, p, v, compute_dtype=compute_dtype)
 
     _progress("starting ViT sections")
-    t_vit_fwd = pipeline_time(
+    t_vit_fwd = _section("vit_fwd", lambda: pipeline_time(
         vit_fwd, x128.astype(jnp.float32), n=4, reps=3, args=(vit_params,)
-    )
-    # sw_batch 1: the ViT forward is 1.5x cheaper per window unbatched
-    # (29.7 vs 44.4 ms/window at B=4, tools/_exp_vitb.py); results are
-    # batch-invariant so this is purely an execution knob
-    ext_vit = make_feature_extractor(
-        vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
-        compute_dtype=compute_dtype,
-    )
-    t_vit256 = pipeline_time(
-        ext_vit.impl, vol256, n=1, reps=2, args=(ext_vit.arrays,)
-    )
-    _progress("vit sliding 256 done: %.3fs" % t_vit256)
+    ))
+
+    def _vit256():
+        # sw_batch 1: the ViT forward is 1.5x cheaper per window unbatched
+        # (29.7 vs 44.4 ms/window at B=4, tools/_exp_vitb.py); results are
+        # batch-invariant so this is purely an execution knob
+        ext_vit = make_feature_extractor(
+            vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
+            compute_dtype=compute_dtype,
+        )
+        return pipeline_time(
+            ext_vit.impl, vol256, n=1, reps=2, args=(ext_vit.arrays,)
+        )
+
+    t_vit256 = _section("vit_sliding", _vit256)
+    _progress("vit sliding 256 done: %s" % t_vit256)
+
+    def _r(x, nd):
+        return None if x is None else round(x, nd)
 
     result = {
         "metric": "feature_extraction_256ct_seconds_per_chip",
@@ -208,14 +234,16 @@ def main():
         "unit": "s",
         "vs_baseline": round(1.0 / t_full, 3),
         "extra": {
-            "sliding_window_mode_seconds": round(t_sw, 3),
-            "patches_128_per_sec_per_chip": round(1.0 / t_patch, 2),
-            "registration_solver_seconds_192": round(t_reg, 2),
-            "pretrain_step_seconds_128crop": round(t_step, 3),
-            "dev_unet_fwd_seconds_128": round(t_dev_fwd, 4),
-            "dev_unet_full_tiled_256_seconds": round(t_dev256, 3),
-            "vit_fwd_seconds_128": round(t_vit_fwd, 4),
-            "vit_sliding_256_seconds": round(t_vit256, 3),
+            "sliding_window_mode_seconds": _r(t_sw, 3),
+            "patches_128_per_sec_per_chip": (
+                None if t_patch is None else round(1.0 / t_patch, 2)
+            ),
+            "registration_solver_seconds_192": _r(t_reg, 2),
+            "pretrain_step_seconds_128crop": _r(t_step, 3),
+            "dev_unet_fwd_seconds_128": _r(t_dev_fwd, 4),
+            "dev_unet_full_tiled_256_seconds": _r(t_dev256, 3),
+            "vit_fwd_seconds_128": _r(t_vit_fwd, 4),
+            "vit_sliding_256_seconds": _r(t_vit256, 3),
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),
         },
