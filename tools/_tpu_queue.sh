@@ -6,7 +6,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
 echo "[queue] waiting for relay..."
-for i in $(seq 1 720); do
+for i in $(seq 1 2520); do
   code=$(curl -s -m 5 http://127.0.0.1:8103/ -o /dev/null -w "%{http_code}" || true)
   if [ "$code" != "000" ]; then
     echo "[queue] relay up (http $code) after ${i}x10s"
