@@ -32,10 +32,11 @@ def build_parser():
     src.add_argument("--ckpt_path", type=str, default=None)
     src.add_argument("--hf_variant", type=str, default=None)
     p.add_argument("--strategy", type=str, default="sliding",
-                   choices=["sliding", "full", "auto"])
+                   choices=["sliding", "full", "full_tiled", "auto"])
     p.add_argument("--roi", type=int, default=128)
     p.add_argument("--overlap", type=float, default=0.8)
-    p.add_argument("--sw_batch_size", type=int, default=2)
+    p.add_argument("--sw_batch_size", type=int, default=None,
+               help="windows per forward; default auto (2; ViT: 1)")
     p.add_argument("--minclip", type=float, default=None)
     p.add_argument("--maxclip", type=float, default=None)
     p.add_argument("--normalize", type=str, default="none",
