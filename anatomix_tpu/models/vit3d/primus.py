@@ -293,6 +293,31 @@ def _apply_rope(x, cos, sin):
     return out.reshape(x.shape)
 
 
+def _apply_rope_half(x, cos, sin):
+    """Rotate-half form: x's rotation pairs live at (i, i + hd//2) instead
+    of (2i, 2i+1) — contiguous half-slices replace the stride-2
+    deinterleave + interleave relayouts of `_apply_rope`. Exact same math
+    when q/k channels are pre-permuted (see `_ROPE_PERM`): the attention
+    scores q·k are invariant to any fixed channel permutation applied to
+    both."""
+    hd = x.shape[-1]
+    x1 = x[..., : hd // 2]
+    x2 = x[..., hd // 2:]
+    return jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    )
+
+
+def _rope_half_perm(hd: int) -> np.ndarray:
+    """Channel permutation mapping rotate-half layout to interleaved:
+    new channel i reads old channel perm[i]."""
+    half = hd // 2
+    perm = np.empty((hd,), np.int32)
+    perm[:half] = 2 * np.arange(half)
+    perm[half:] = 2 * np.arange(half) + 1
+    return perm
+
+
 def _flash_attention(q, k, v, scale: float):
     """(B, H, N, hd) x3 -> (B, H, N, hd) via the stock TPU flash kernel."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -329,20 +354,44 @@ def _attention(cfg, block, x, rope, n_prefix, compute_dtype=None):
     hd = cfg.head_dim
     dt = compute_dtype or x.dtype
 
-    q = _apply_linear(block["q_proj"], x).reshape(B, N, H, hd)
-    k = _apply_linear(block["k_proj"], x).reshape(B, N, H, hd)
+    # rotate-half RoPE: apply a fixed per-head channel permutation to the
+    # q/k PROJECTION WEIGHTS (attention scores are invariant to a shared
+    # q/k channel permutation) so the rotation pairs are contiguous
+    # half-slices instead of stride-2 interleaved lanes — kills 4
+    # deinterleave+interleave relayouts per block.
+    rope_half = cfg.use_rot_pos_emb and hd % 2 == 0
+    if rope_half:
+        perm = _rope_half_perm(hd)
+        cols = (np.arange(H)[:, None] * hd + perm[None, :]).reshape(-1)
+
+        def proj_perm(p):
+            w = p["w"][:, cols]
+            return {"w": w, "b": p["b"][cols]} if "b" in p else {"w": w}
+
+        def norm_perm(p):
+            return {"scale": p["scale"][perm], "bias": p["bias"][perm]}
+
+        q = _apply_linear(proj_perm(block["q_proj"]), x).reshape(B, N, H, hd)
+        k = _apply_linear(proj_perm(block["k_proj"]), x).reshape(B, N, H, hd)
+        if cfg.qk_norm:
+            q = _layer_norm(q, norm_perm(block["q_norm"]), eps=1e-5)
+            k = _layer_norm(k, norm_perm(block["k_norm"]), eps=1e-5)
+    else:
+        q = _apply_linear(block["q_proj"], x).reshape(B, N, H, hd)
+        k = _apply_linear(block["k_proj"], x).reshape(B, N, H, hd)
+        if cfg.qk_norm:
+            q = _layer_norm(q, block["q_norm"], eps=1e-5)
+            k = _layer_norm(k, block["k_norm"], eps=1e-5)
     v = _apply_linear(block["v_proj"], x).reshape(B, N, H, hd)
-    if cfg.qk_norm:
-        q = _layer_norm(q, block["q_norm"], eps=1e-5)
-        k = _layer_norm(k, block["k_norm"], eps=1e-5)
     q = q.transpose(0, 2, 1, 3)  # (B, H, N, hd)
     k = k.transpose(0, 2, 1, 3)
     v = v.transpose(0, 2, 1, 3)
 
     if cfg.use_rot_pos_emb:
         cos, sin = rope
-        q_spatial = _apply_rope(q[:, :, n_prefix:], cos, sin)
-        k_spatial = _apply_rope(k[:, :, n_prefix:], cos, sin)
+        apply = _apply_rope_half if rope_half else _apply_rope
+        q_spatial = apply(q[:, :, n_prefix:], cos, sin)
+        k_spatial = apply(k[:, :, n_prefix:], cos, sin)
         q = jnp.concatenate([q[:, :, :n_prefix], q_spatial], axis=2)
         k = jnp.concatenate([k[:, :, :n_prefix], k_spatial], axis=2)
 

@@ -283,3 +283,26 @@ def test_flash_attention_matches_einsum():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2
     )
+
+
+def test_rope_half_matches_interleaved():
+    """rotate-half RoPE on permuted channels == interleaved RoPE then the
+    same permutation (the exact-math identity behind the q/k projection
+    weight permutation in _attention)."""
+    import numpy as np
+
+    from anatomix_tpu.models.vit3d.primus import (
+        _apply_rope,
+        _apply_rope_half,
+        _rope_half_perm,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, N, hd = 2, 3, 5, 12
+    x = jnp.asarray(rng.standard_normal((B, H, N, hd)).astype(np.float32))
+    cos = jnp.asarray(rng.standard_normal((N, hd // 2)).astype(np.float32))
+    sin = jnp.asarray(rng.standard_normal((N, hd // 2)).astype(np.float32))
+    perm = _rope_half_perm(hd)
+    old = np.asarray(_apply_rope(x, cos, sin))[..., perm]
+    new = np.asarray(_apply_rope_half(x[..., perm], cos, sin))
+    np.testing.assert_allclose(new, old, atol=1e-6)
