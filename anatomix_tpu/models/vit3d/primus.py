@@ -462,18 +462,30 @@ def _tokenizer_v2(cfg, tok, x, compute_dtype=None):
 
 
 def _decoder(cfg, dec, grid, compute_dtype=None):
-    """Transposed-conv ×2 stages back to full resolution."""
+    """Transposed-conv ×2 stages back to full resolution.
+
+    A stride-2 kernel-2 transposed conv has non-overlapping windows, so
+    each stage is exactly ONE GEMM into block layout (output channels
+    (ad, ah, aw)-major) followed by depth-to-space — XLA's conv_transpose
+    lowering is replaced by a plain matmul + the Pallas reshuffle."""
+    from anatomix_tpu.ops.pallas.conv3x3 import _depth_to_space
+    from anatomix_tpu.ops.pallas.reshuffle import depth_to_space as _d2s
+
+    on_tpu = jax.default_backend() not in ("cpu",)
     y = grid
     n = len(dec)
     for i, p in enumerate(dec):
         w = p["w"]  # (2, 2, 2, in, out)
-        y = jax.lax.conv_transpose(
-            y.astype(compute_dtype or y.dtype),
-            w.astype(compute_dtype or y.dtype),
-            strides=(2, 2, 2),
-            padding="VALID",
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        ).astype(jnp.float32)
+        ci, co = w.shape[3], w.shape[4]
+        dt = compute_dtype or y.dtype
+        w2 = jnp.transpose(w, (3, 0, 1, 2, 4)).reshape(ci, 8 * co)
+        yb = jnp.einsum(
+            "bdhwc,ce->bdhwe", y.astype(dt), w2.astype(dt),
+            preferred_element_type=jnp.float32,
+        ).astype(dt)
+        y = (_d2s(yb) if on_tpu and co >= 8 else _depth_to_space(yb)).astype(
+            jnp.float32
+        )
         if "b" in p:
             y = y + p["b"]
         if i < n - 1:
