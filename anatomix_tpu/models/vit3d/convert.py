@@ -28,11 +28,14 @@ def _conv_t(w):  # torch Conv3d (O, I, kD, kH, kW) -> DHWIO
 
 
 def _deconv_t(w):
-    """torch ConvTranspose3d (I, O, kD, kH, kW) -> DHWIO for
-    `lax.conv_transpose` (spatial flip + transpose; verified numerically
-    against `nn.ConvTranspose3d` in tests/test_vit3d.py)."""
-    w = np.asarray(w)[:, :, ::-1, ::-1, ::-1]
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 0, 1)))
+    """torch ConvTranspose3d (I, O, kD, kH, kW) -> DHWIO scatter layout:
+    w[a, b, c, ci, co] scatters to output offset (a, b, c), exactly
+    torch's convention and what `primus._decoder` (GEMM + depth-to-space)
+    consumes. NO spatial flip — a flip is only needed when feeding
+    `lax.conv_transpose`, which the runtime does not use. Verified
+    against `nn.ConvTranspose3d` through the real decoder in
+    tests/test_vit3d.py."""
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 4, 0, 1)))
 
 
 def convert_primus_state_dict(
@@ -147,11 +150,19 @@ def convert_primus_state_dict(
     # The upstream sub-module names inside down_projection/up_projection are
     # not pinned here (package unavailable), so convs are matched to the
     # runtime structure by their expected forward-order DHWIO shapes; ties
-    # between same-shape convs resolve in sorted-key order (the upstream's
-    # numeric module indices sort in forward order).
+    # between same-shape convs resolve in NATURAL key order (numeric module
+    # indices compare as integers — lexicographic order would put
+    # "encoder.10" before "encoder.2" and silently swap same-shape convs).
+    import re as _re
+
+    def _natkey(k):
+        # (0, int) / (1, str) tuples keep mixed tokens comparable
+        return [(0, int(t)) if t.isdigit() else (1, t)
+                for t in _re.split(r"(\d+)", k)]
+
     def _grab_convs(prefix, transform):
         items = []
-        for k in sorted(sd):
+        for k in sorted(sd, key=_natkey):
             if (
                 k.startswith(prefix)
                 and k.endswith("weight")

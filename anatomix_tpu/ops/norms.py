@@ -56,7 +56,17 @@ def instance_norm(
 
 
 def _even_chunk_sizes(size: int, n: int) -> list[int]:
-    """Split `size` into `n` contiguous chunks as evenly as possible."""
+    """Split `size` into `n` contiguous chunks as evenly as possible.
+
+    Even `size` always gets even chunk sizes (computed on `size // 2` and
+    doubled) so tile boundaries are identical between full-resolution and
+    block (space-to-depth, halved-dims) layouts — the fused UNet's
+    block-space tiled instance norm computes chunks on the halved dims
+    (`models/unet_fused.py`) and must agree with this function exactly.
+    """
+    if size % 2 == 0:
+        base, rem = divmod(size // 2, n)
+        return [2 * (base + (1 if i < rem else 0)) for i in range(n)]
     base, rem = divmod(size, n)
     return [base + (1 if i < rem else 0) for i in range(n)]
 

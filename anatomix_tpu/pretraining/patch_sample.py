@@ -148,7 +148,13 @@ def sample_patch_coords(
         flat = jax.random.choice(key, n, (p,), replace=False)
     else:
         g = jax.random.gumbel(key, (n,), jnp.float32)
-        score = g + jnp.where(mask.reshape(-1) > 0, 0.0, -1e9)
+        # the penalty must be small enough that float32 keeps the Gumbel
+        # noise on penalized entries (at -1e9 the spacing is 64 and every
+        # background score collapses to exactly -1e9, making the "uniform"
+        # background fill deterministically the lowest-index voxels); at
+        # -1e4 the spacing is ~1e-3 and ordering noise survives while any
+        # foreground score still dominates (gumbel range is ~[-3, 40])
+        score = g + jnp.where(mask.reshape(-1) > 0, 0.0, -1e4)
         _, flat = jax.lax.top_k(score, p)
     cz = flat // (h * w)
     cy = (flat // w) % h

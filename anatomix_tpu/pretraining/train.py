@@ -172,6 +172,13 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         if os.path.exists(val_h5)
         else None
     )
+    if cfg.lr_policy == "plateau" and val_ds is None:
+        raise ValueError(
+            "lr_policy='plateau' steps on the validation loss "
+            f"(reference pretraining_networks.py:591-607) but no val "
+            f"dataset exists at {val_h5}; provide val_data.hdf5 or pick "
+            "another lr_policy"
+        )
 
     mesh = None
     n_dev = cfg.data_parallel_devices or len(jax.devices())
@@ -204,7 +211,31 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         ckpt_root=cfg.ckpt_dir,
     )
     if resume_path:
-        state = load_state_leaves(resume_path, state)
+        try:
+            state = load_state_leaves(resume_path, state)
+        except ValueError:
+            # pre-lr_scale checkpoint (the scalar leaf landed with the
+            # plateau policy): re-insert the template's lr_scale at its
+            # leaf position and retry, so older runs keep resuming
+            import numpy as _np
+
+            paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(
+                state
+            )
+            z = _np.load(resume_path, allow_pickle=False)
+            old = [z[f"leaf_{i}"] for i in range(len(z.files))]
+            if len(old) != len(paths_leaves) - 1:
+                raise
+            merged, it = [], iter(old)
+            for path, leaf in paths_leaves:
+                if any(
+                    getattr(p, "name", None) == "lr_scale" for p in path
+                ):
+                    merged.append(leaf)
+                else:
+                    merged.append(next(it))
+            state = jax.tree_util.tree_unflatten(treedef, merged)
+            print("Migrated pre-lr_scale train state")
         total_iters = int(state.step)
         bv_path = os.path.join(run_dir, "best_val_loss.txt")
         if os.path.exists(bv_path):

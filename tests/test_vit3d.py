@@ -238,21 +238,25 @@ def test_convert_primus_state_dict_full_coverage(tiny):
 
 def test_decoder_matches_torch_convtranspose():
     """The converter's ConvTranspose3d mapping reproduces torch numerics
-    through `lax.conv_transpose` (the decoder's op)."""
+    through the REAL runtime decoder (`primus._decoder`, GEMM +
+    depth-to-space) — not through `lax.conv_transpose`, which the runtime
+    does not call (that path needs a spatially flipped kernel; the
+    scatter layout does not)."""
     import torch
 
     from anatomix_tpu.models.vit3d.convert import _deconv_t
+    from anatomix_tpu.models.vit3d.primus import _decoder
 
     torch.manual_seed(0)
     tc = torch.nn.ConvTranspose3d(6, 5, 2, stride=2)
     x = torch.randn(2, 6, 4, 4, 4)
     ref = tc(x).detach().numpy()
-    w = jnp.asarray(_deconv_t(tc.weight.detach().numpy()))
+    dec = [{
+        "w": jnp.asarray(_deconv_t(tc.weight.detach().numpy())),
+        "b": jnp.asarray(tc.bias.detach().numpy()),
+    }]
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
-    y = jax.lax.conv_transpose(
-        xj, w, strides=(2, 2, 2), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    ) + jnp.asarray(tc.bias.detach().numpy())
+    y = _decoder(None, dec, xj, compute_dtype=jnp.float32)
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 4, 1, 2, 3), ref, atol=1e-5
     )
