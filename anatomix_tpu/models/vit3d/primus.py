@@ -297,7 +297,7 @@ def _apply_rope_half(x, cos, sin):
     """Rotate-half form: x's rotation pairs live at (i, i + hd//2) instead
     of (2i, 2i+1) — contiguous half-slices replace the stride-2
     deinterleave + interleave relayouts of `_apply_rope`. Exact same math
-    when q/k channels are pre-permuted (see `_ROPE_PERM`): the attention
+    when q/k channels are pre-permuted (see `_rope_half_perm`): the attention
     scores q·k are invariant to any fixed channel permutation applied to
     both."""
     hd = x.shape[-1]

@@ -56,17 +56,24 @@ def instance_norm(
 
 
 def _even_chunk_sizes(size: int, n: int) -> list[int]:
-    """Split `size` into `n` contiguous chunks as evenly as possible.
+    """Split `size` into `n` contiguous chunks as evenly as possible,
+    with the invariant `_even_chunk_sizes(2*s, n) == 2*_even_chunk_sizes(s, n)`
+    whenever `s >= n` (recursing while the size stays even and splittable).
 
-    Even `size` always gets even chunk sizes (computed on `size // 2` and
-    doubled) so tile boundaries are identical between full-resolution and
-    block (space-to-depth, halved-dims) layouts — the fused UNet's
-    block-space tiled instance norm computes chunks on the halved dims
-    (`models/unet_fused.py`) and must agree with this function exactly.
+    The invariant makes tile boundaries identical between full-resolution
+    and block (space-to-depth, halved-dims) layouts at EVERY depth — the
+    fused UNet's block-space tiled instance norm computes chunks on the
+    halved dims (`models/unet_fused.py`) and must agree with the plain
+    path exactly; a single halving level is not enough (e.g. 352/3:
+    [118,118,116] vs 2*[60,58,58]).
     """
-    if size % 2 == 0:
-        base, rem = divmod(size // 2, n)
-        return [2 * (base + (1 if i < rem else 0)) for i in range(n)]
+    if size < n:
+        raise ValueError(
+            f"cannot split size {size} into {n} non-empty tiles "
+            "(tile_counts too large for this level's spatial dims)"
+        )
+    if size % 2 == 0 and size // 2 >= n:
+        return [2 * c for c in _even_chunk_sizes(size // 2, n)]
     base, rem = divmod(size, n)
     return [base + (1 if i < rem else 0) for i in range(n)]
 

@@ -233,7 +233,12 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                 ):
                     merged.append(leaf)
                 else:
-                    merged.append(next(it))
+                    nxt = next(it)
+                    if _np.shape(nxt) != _np.shape(leaf):
+                        # not a pre-lr_scale checkpoint after all — a real
+                        # structural mismatch; surface the original error
+                        raise
+                    merged.append(nxt)
             state = jax.tree_util.tree_unflatten(treedef, merged)
             print("Migrated pre-lr_scale train state")
         total_iters = int(state.step)

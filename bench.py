@@ -90,22 +90,28 @@ def main():
     _progress("6M sliding 256 done: %s" % t_sw)
 
     # --- 128³ patch throughput (fused block-space Pallas path) ---------------
-    from anatomix_tpu.models.unet_fused import prepack_fused, unet_apply_fused
+    def _fused_fwd():
+        from anatomix_tpu.models.unet_fused import (
+            prepack_fused, unet_apply_fused,
+        )
 
-    fplan, fparams = fold_batchnorm(plan, params)
-    pf = prepack_fused(fplan, fparams, input_spatial=(128, 128, 128),
-                       compute_dtype=compute_dtype)
-    x128 = jax.jit(
-        lambda k: jax.random.normal(k, (1, 128, 128, 128, 1), compute_dtype)
-    )(jax.random.PRNGKey(2))
+        fplan, fparams = fold_batchnorm(plan, params)
+        pf = prepack_fused(fplan, fparams, input_spatial=(128, 128, 128),
+                           compute_dtype=compute_dtype)
+        x128 = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 128, 128, 128, 1), compute_dtype
+            )
+        )(jax.random.PRNGKey(2))
 
-    def fwd(v):
-        return unet_apply_fused(fplan, pf, v, compute_dtype=compute_dtype)[
-            ..., :1
-        ]
+        def fwd(v):
+            return unet_apply_fused(
+                fplan, pf, v, compute_dtype=compute_dtype
+            )[..., :1]
 
-    t_patch = _section("fused_fwd",
-                       lambda: amortized_time(fwd, x128, n=8, reps=3))
+        return amortized_time(fwd, x128, n=8, reps=3)
+
+    t_patch = _section("fused_fwd", _fused_fwd)
     _progress("6M fused fwd done: %s" % t_patch)
 
     # --- registration pair latency (post-feature solver, the reference's
@@ -176,41 +182,50 @@ def main():
     # tests/test_extract.py::test_full_tiled_vs_sliding) --------------------
     from anatomix_tpu.models.registry import ANATOMIX_VARIANTS
 
-    dev_plan = build_plan(
-        UnetConfig(**ANATOMIX_VARIANTS["anatomix-dev"]["unet_kwargs"])
-    )
-    dev_params = init_params(dev_plan, jax.random.PRNGKey(6))
-    ext_dev128 = make_feature_extractor(
-        dev_plan, dev_params, strategy="full_tiled",
-        roi_size=(128, 128, 128), compute_dtype=compute_dtype,
-    )
     _progress("starting dev 94M sections")
-    t_dev_fwd = _section("dev_fwd", lambda: pipeline_time(
-        ext_dev128.impl, x128.astype(jnp.float32), n=4, reps=3,
-        args=(ext_dev128.arrays,),
-    ))
-    t_dev256 = _section("dev_256", lambda: pipeline_time(
-        ext_dev128.impl, vol256, n=2, reps=2, args=(ext_dev128.arrays,),
-    ))
+
+    def _dev():
+        dev_plan = build_plan(
+            UnetConfig(**ANATOMIX_VARIANTS["anatomix-dev"]["unet_kwargs"])
+        )
+        dev_params = init_params(dev_plan, jax.random.PRNGKey(6))
+        ext = make_feature_extractor(
+            dev_plan, dev_params, strategy="full_tiled",
+            roi_size=(128, 128, 128), compute_dtype=compute_dtype,
+        )
+        xf = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 128, 128, 128, 1), jnp.float32
+            )
+        )(jax.random.PRNGKey(2))
+        t1 = pipeline_time(ext.impl, xf, n=4, reps=3, args=(ext.arrays,))
+        t2 = pipeline_time(ext.impl, vol256, n=2, reps=2,
+                           args=(ext.arrays,))
+        return t1, t2
+
+    t_dev_fwd, t_dev256 = _section("dev", _dev, (None, None))
     _progress("dev 256 full_tiled done: %s" % t_dev256)
 
     # --- anatomix-dev-vit 26M ViT: 128³ fwd + reference-exact 256³ sliding
     # (the ViT is input-shape-bound, README.md:47) --------------------------
-    from anatomix_tpu.models.vit3d import load_primus_v2, primus_apply
-
-    vit_cfg, vit_params = load_primus_v2(
-        ANATOMIX_VARIANTS["anatomix-dev-vit"]["vit_kwargs"]
-    )
-
-    def vit_fwd(v, p):
-        return primus_apply(vit_cfg, p, v, compute_dtype=compute_dtype)
-
     _progress("starting ViT sections")
-    t_vit_fwd = _section("vit_fwd", lambda: pipeline_time(
-        vit_fwd, x128.astype(jnp.float32), n=4, reps=3, args=(vit_params,)
-    ))
 
-    def _vit256():
+    def _vit():
+        from anatomix_tpu.models.vit3d import load_primus_v2, primus_apply
+
+        vit_cfg, vit_params = load_primus_v2(
+            ANATOMIX_VARIANTS["anatomix-dev-vit"]["vit_kwargs"]
+        )
+
+        def vit_fwd(v, p):
+            return primus_apply(vit_cfg, p, v, compute_dtype=compute_dtype)
+
+        xf = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 128, 128, 128, 1), jnp.float32
+            )
+        )(jax.random.PRNGKey(2))
+        t1 = pipeline_time(vit_fwd, xf, n=4, reps=3, args=(vit_params,))
         # sw_batch 1: the ViT forward is 1.5x cheaper per window unbatched
         # (29.7 vs 44.4 ms/window at B=4, tools/_exp_vitb.py); results are
         # batch-invariant so this is purely an execution knob
@@ -218,11 +233,12 @@ def main():
             vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
             compute_dtype=compute_dtype,
         )
-        return pipeline_time(
+        t2 = pipeline_time(
             ext_vit.impl, vol256, n=1, reps=2, args=(ext_vit.arrays,)
         )
+        return t1, t2
 
-    t_vit256 = _section("vit_sliding", _vit256)
+    t_vit_fwd, t_vit256 = _section("vit", _vit, (None, None))
     _progress("vit sliding 256 done: %s" % t_vit256)
 
     def _r(x, nd):

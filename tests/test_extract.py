@@ -137,17 +137,12 @@ def test_tiled_instance_norm_matches_per_tile():
     xb = np.asarray(x)
 
     def chunks(size, n):
-        # the library's chunk contract: even sizes get even chunk sizes
-        # (computed on size//2 and doubled, so full-res and block-space
-        # tile boundaries coincide); odd sizes split as evenly as possible
-        if size % 2 == 0:
-            base, rem = divmod(size // 2, n)
-            sizes = [2 * (base + (1 if i < rem else 0)) for i in range(n)]
-        else:
-            base, rem = divmod(size, n)
-            sizes = [base + (1 if i < rem else 0) for i in range(n)]
+        # boundaries from the library contract (the per-tile statistics
+        # below stay an independent numpy oracle)
+        from anatomix_tpu.ops.norms import _even_chunk_sizes
+
         off, out = 0, []
-        for s in sizes:
+        for s in _even_chunk_sizes(size, n):
             out.append((off, off + s))
             off += s
         return out
