@@ -236,3 +236,20 @@ def test_packed_sampler_matches_grid_sample(rng):
     ref = np.asarray(grid_sample(vol, grid, mode="bilinear"))
     got = np.asarray(make_packed_sampler(vol)(grid))
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-4)
+
+
+def test_even_chunk_sizes_block_invariant():
+    """e(2s, n) == 2*e(s, n) whenever s >= n — the contract that keeps
+    full-resolution and block-space (halved-dims) tiled-instance-norm
+    boundaries identical at every depth; undersized splits raise."""
+    import pytest
+
+    from anatomix_tpu.ops.norms import _even_chunk_sizes as e
+
+    for n in (1, 2, 3, 4):
+        for s in range(n, 200):
+            full = e(2 * s, n)
+            assert full == [2 * c for c in e(s, n)], (s, n)
+            assert sum(full) == 2 * s and all(c > 0 for c in full)
+    with pytest.raises(ValueError):
+        e(3, 4)
