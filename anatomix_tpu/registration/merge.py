@@ -7,8 +7,11 @@ Euclidean distance transform with indices, then trilinearly upsampled, with
 in-mask voxels overwritten by the original image) before MIND, and network
 features are zeroed outside the mask.
 
-The EDT runs on host (scipy) — it is a preprocessing step outside the jitted
-solver loop, exactly where the reference also leaves the device.
+The EDT runs on device (`ops/edt.py`, exact separable min-plus transform) —
+the reference leaves the device for scipy here, but through a slow host link
+that round trip costs more than the transform. Distances match scipy
+exactly; at exact-tie sites a different (equidistant) source voxel may be
+chosen, so infilled values can differ there (see `ops/edt.py`).
 """
 
 from __future__ import annotations
@@ -17,32 +20,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from anatomix_tpu.ops.edt import edt_feature_transform
 from anatomix_tpu.ops.pool import avg_pool3d
 from anatomix_tpu.ops.resize import resize3d
 from anatomix_tpu.registration.mind import mindssc
 
 
-def _edt_infill(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+def _edt_infill(img: jax.Array, mask: jax.Array) -> jax.Array:
     """Replace out-of-mask voxels with nearest in-mask intensities
     (reference recipe: ::2 subsample EDT -> gather -> trilinear ×2 ->
     overwrite in-mask voxels)."""
-    from scipy.ndimage import distance_transform_edt as edt
-
     H, W, D = img.shape
     sub_mask = mask[::2, ::2, ::2]
-    _, idx = edt(sub_mask == 0, return_indices=True)
+    idx, _ = edt_feature_transform(sub_mask)
     sub_img = img[::2, ::2, ::2]
     filled_sub = sub_img[idx[0], idx[1], idx[2]]
-    filled = np.asarray(
-        resize3d(
-            jnp.asarray(filled_sub, jnp.float32)[None, ..., None],
-            (H, W, D),
-            mode="trilinear",
-            align_corners=False,
-        )
+    filled = resize3d(
+        filled_sub.astype(jnp.float32)[None, ..., None],
+        (H, W, D),
+        mode="trilinear",
+        align_corners=False,
     )[0, ..., 0]
-    out = np.where(mask > 0, img, filled)
-    return out.astype(np.float32)
+    return jnp.where(mask > 0, img, filled).astype(jnp.float32)
 
 
 def merge_features(
@@ -70,19 +69,15 @@ def merge_features(
                 stride=1,
                 padding=0,
             )
-            return np.asarray((sm[0, ..., 0] > 0.9), np.float32)
+            return (sm[0, ..., 0] > 0.9).astype(jnp.float32)
 
         mf = smooth_mask(mask_fixed)
         mm = smooth_mask(mask_moving)
-        fixed_r = _edt_infill(np.asarray(fixed_img, np.float32), mf)
-        moving_r = _edt_infill(np.asarray(moving_img, np.float32), mm)
+        fixed_r = _edt_infill(jnp.asarray(fixed_img, jnp.float32), mf)
+        moving_r = _edt_infill(jnp.asarray(moving_img, jnp.float32), mm)
 
-        mind_fixed = mindssc(
-            jnp.asarray(fixed_r)[None, ..., None], 1, 2
-        )
-        mind_moving = mindssc(
-            jnp.asarray(moving_r)[None, ..., None], 1, 2
-        )
+        mind_fixed = mindssc(fixed_r[None, ..., None], 1, 2)
+        mind_moving = mindssc(moving_r[None, ..., None], 1, 2)
         pred_fixed = pred_fixed * jnp.asarray(mask_fixed, jnp.float32)[
             None, ..., None
         ]
