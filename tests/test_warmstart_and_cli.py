@@ -107,6 +107,64 @@ def test_extract_cli(tmp_path, monkeypatch):
     np.testing.assert_allclose(norms, 1.0, atol=1e-4)
 
 
+def test_extract_cli_dataset_mode(tmp_path, monkeypatch):
+    """Dataset mode: loader/writer pipeline over a directory; one output
+    per input, equal to the single-volume path's output."""
+    import anatomix_tpu.extract_cli as cli
+    from anatomix_tpu.utils.nifti import save_volume
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4)
+    )
+    params = init_params(plan, jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "load_model", lambda **kw: (plan, params))
+
+    rng = np.random.default_rng(1)
+    in_dir = tmp_path / "scans"
+    out_dir = tmp_path / "feats"
+    in_dir.mkdir()
+    for name in ["a", "b", "c"]:
+        vol = rng.random((20, 18, 16)).astype(np.float32)
+        save_volume(str(in_dir / f"{name}.nii.gz"), vol, np.eye(4))
+
+    cli.main([
+        "--input_dir", str(in_dir), "--output_dir", str(out_dir),
+        "--ckpt_path", "stub", "--strategy", "full",
+    ])
+    outs = sorted(os.listdir(out_dir))
+    assert outs == ["a.npz", "b.npz", "c.npz"]
+
+    # parity with the single-volume path on one of them
+    single = str(tmp_path / "b_single.npz")
+    cli.main([
+        "--input", str(in_dir / "b.nii.gz"), "--output", single,
+        "--ckpt_path", "stub", "--strategy", "full",
+    ])
+    np.testing.assert_array_equal(
+        np.load(out_dir / "b.npz")["features"],
+        np.load(single)["features"],
+    )
+
+
+def test_extract_cli_dataset_mode_empty_dir(tmp_path, monkeypatch):
+    import pytest
+
+    import anatomix_tpu.extract_cli as cli
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4)
+    )
+    params = init_params(plan, jax.random.PRNGKey(0))
+    monkeypatch.setattr(cli, "load_model", lambda **kw: (plan, params))
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(FileNotFoundError):
+        cli.main([
+            "--input_dir", str(tmp_path / "empty"),
+            "--output_dir", str(tmp_path / "out"),
+            "--ckpt_path", "stub",
+        ])
+
+
 def test_visualization_utils(tmp_path):
     from anatomix_tpu.utils.visualization import (
         panel_figure,
