@@ -18,3 +18,13 @@ echo "[queue2] job 7: double-buffered sparse conv"
 timeout 1800 python tools/_exp_dbuf.py > /tmp/q_dbuf.log 2>&1
 echo "[queue2] job7 rc=$?"
 echo "[queue2] done"
+
+echo "[queue2] job 8: gather strategy shootout"
+timeout 1800 python tools/_exp_gather.py > /tmp/q_gather.log 2>&1
+echo "[queue2] job8 rc=$?"
+sleep 5
+
+echo "[queue2] job 9: solver trace"
+timeout 1800 python tools/_trace_solver.py > /tmp/q_trsolver.log 2>&1
+echo "[queue2] job9 rc=$?"
+echo "[queue2] done2"
