@@ -14,6 +14,11 @@ from anatomix_tpu.parallel.mesh import (
     replicate,
     space_mesh,
 )
+from anatomix_tpu.parallel.multihost import (
+    global_batch_from_local,
+    global_data_mesh,
+    initialize_distributed,
+)
 from anatomix_tpu.parallel.spatial import (
     halo_pad_d,
     spatial_sharded_unet,
@@ -22,7 +27,10 @@ from anatomix_tpu.parallel.spatial import (
 __all__ = [
     "data_mesh",
     "data_sharding",
+    "global_batch_from_local",
+    "global_data_mesh",
     "halo_pad_d",
+    "initialize_distributed",
     "replicate",
     "space_mesh",
     "spatial_sharded_unet",

@@ -84,6 +84,44 @@ def test_receptive_field():
     assert rf > 100  # the 6M UNet sees far: tiling with small halos is lossy
 
 
+def test_multihost_helpers_single_process():
+    """Multi-host utilities degrade gracefully to single-process: init is a
+    no-op, the global mesh covers all devices, and global_batch_from_local
+    produces correctly 'data'-sharded arrays a mesh-jitted sum accepts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from anatomix_tpu.parallel import (
+        global_batch_from_local,
+        global_data_mesh,
+        initialize_distributed,
+    )
+
+    assert initialize_distributed() is False  # no coordinator configured
+    mesh = global_data_mesh()
+    assert mesh.shape == {"data": len(jax.devices())}
+
+    local = {
+        "views": np.arange(8 * 4, dtype=np.float32).reshape(8, 4),
+        "segs": np.ones((8, 2), np.int32),
+    }
+    batch = global_batch_from_local(mesh, local)
+    assert batch["views"].sharding == NamedSharding(mesh, P("data"))
+    assert batch["views"].shape == (8, 4)
+    f = jax.jit(
+        lambda b: jnp.sum(b["views"]) + jnp.sum(b["segs"]),
+        in_shardings=(NamedSharding(mesh, P("data")),),
+    )
+    assert float(f(batch)) == float(local["views"].sum() + 16)
+
+    # per-host PRNG fold-in is deterministic for process 0
+    from anatomix_tpu.parallel.multihost import fold_in_process
+
+    k = fold_in_process(jax.random.PRNGKey(3))
+    np.testing.assert_array_equal(
+        np.asarray(k), np.asarray(jax.random.fold_in(jax.random.PRNGKey(3), 0))
+    )
+
+
 def test_extractor_full_spatially_sharded(rng):
     """make_feature_extractor(strategy='full', mesh with 'space' axis) runs
     the halo-exchanged sharded forward and matches the unsharded one."""
