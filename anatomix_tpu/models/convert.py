@@ -62,6 +62,7 @@ def convert_state_dict(
     cfg = plan.config
     params: dict[str, Any] = {}
     consumed = set()
+    prelu_vals: list[np.ndarray] = []
     for idx, spec in enumerate(plan.layers):
         base = f"model.{idx}"
         if spec.kind == "conv":
@@ -72,6 +73,19 @@ def convert_state_dict(
                 p["b"] = sd[f"{base}.bias"].astype(np.float32)
                 consumed.add(f"{base}.bias")
             params[str(idx)] = p
+        elif spec.kind == "act" and cfg.activation == "prelu":
+            # The reference appends ONE shared nn.PReLU() instance at every
+            # act slot (`network.py:301` — built once), so the state dict
+            # repeats the same tensor under each index; keep one copy and
+            # verify they agree.
+            prelu_vals.append(sd[f"{base}.weight"].astype(np.float32))
+            consumed.add(f"{base}.weight")
+        elif spec.kind == "final_act" and cfg.final_act == "prelu":
+            # FinalActivation is its OWN module instance (`network.py:302`).
+            params["final_prelu"] = {
+                "w": sd[f"{base}.weight"].astype(np.float32)
+            }
+            consumed.add(f"{base}.weight")
         elif spec.kind == "norm":
             if cfg.norm == "batch":
                 params[str(idx)] = {
@@ -94,6 +108,14 @@ def convert_state_dict(
                 }
                 consumed |= {f"{base}.weight", f"{base}.bias"}
             # plain instance norm: no parameters
+    if prelu_vals:
+        for v in prelu_vals[1:]:
+            if not np.array_equal(v, prelu_vals[0]):
+                raise ValueError(
+                    "PReLU act weights differ across layers — the reference "
+                    "shares one instance; this checkpoint does not match."
+                )
+        params["prelu"] = {"w": prelu_vals[0]}
     leftovers = {
         k for k in sd if k not in consumed and not k.endswith(
             "num_batches_tracked"
@@ -116,10 +138,18 @@ def params_to_state_dict(plan: UnetPlan, params: Mapping[str, Any]):
         base = f"model.{idx}"
         if spec.kind == "conv":
             sd[f"{base}.weight"] = jax_conv_weight_to_torch(
-                np.asarray(p["w"], dtype=np.float32)
+                np.asarray(p["w"], dtype=np.float32), cfg.dimension
             )
             if "b" in p:
                 sd[f"{base}.bias"] = np.asarray(p["b"], dtype=np.float32)
+        elif spec.kind == "act" and cfg.activation == "prelu":
+            sd[f"{base}.weight"] = np.asarray(
+                params["prelu"]["w"], dtype=np.float32
+            )
+        elif spec.kind == "final_act" and cfg.final_act == "prelu":
+            sd[f"{base}.weight"] = np.asarray(
+                params["final_prelu"]["w"], dtype=np.float32
+            )
         elif spec.kind == "norm" and cfg.norm == "batch":
             sd[f"{base}.weight"] = np.asarray(p["scale"], dtype=np.float32)
             sd[f"{base}.bias"] = np.asarray(p["bias"], dtype=np.float32)

@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--interp", type=str, default="nearest")
     p.add_argument("--pooling", type=str, default="Max")
     p.add_argument("--norm_eps", type=float, default=1e-5)
+    p.add_argument("--dimension", type=int, default=3, choices=(1, 2, 3))
+    p.add_argument("--activation", type=str, default="relu")
+    p.add_argument("--final_act", type=str, default="none")
+    p.add_argument("--pad_type", type=str, default="reflect")
     args = p.parse_args(argv)
 
     if args.variant:
@@ -71,8 +75,11 @@ def main(argv=None):
         config = UnetConfig(**cfg_kw["unet_kwargs"])
     else:
         config = UnetConfig(
-            dimension=3, input_nc=args.input_nc, output_nc=args.output_nc,
+            dimension=args.dimension, input_nc=args.input_nc,
+            output_nc=args.output_nc,
             num_downs=args.num_downs, ngf=args.ngf, norm=args.norm,
+            activation=args.activation, final_act=args.final_act,
+            pad_type=args.pad_type,
             interp=args.interp, pooling=args.pooling,
             norm_eps=args.norm_eps,
         )

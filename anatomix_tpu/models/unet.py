@@ -64,13 +64,11 @@ class UnetConfig:
     norm_eps: float = 1e-5
 
     def __post_init__(self):
-        if self.dimension != 3:
-            raise NotImplementedError(
-                "anatomix_tpu currently implements the 3D UNet only "
-                "(all shipped variants are 3D)."
+        if self.dimension not in (1, 2, 3):
+            raise ValueError(
+                f"dimension must be 1-3 (network.py:289); got "
+                f"{self.dimension}"
             )
-        if self.activation == "prelu" or self.final_act == "prelu":
-            raise NotImplementedError("PReLU is not supported yet.")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -213,12 +211,25 @@ def init_params(
     cfg = plan.config
     use_bias = cfg.norm == "instance"
     params: dict[str, Any] = {}
+    # 1D/2D models run as degenerate 3D: leading singleton kernel axes
+    # (see `unet_apply`), so every TPU conv path applies unchanged.
+    kshape = (1,) * (3 - cfg.dimension) + (3,) * cfg.dimension
+    taps = 3 ** cfg.dimension
+    if cfg.activation == "prelu":
+        # torch nn.PReLU() default: ONE learnable scalar, init 0.25 — and
+        # the reference appends the SAME module instance at every act slot
+        # (`network.py:301,324` — `Activation` built once), so the weight
+        # is shared across all activation layers.
+        params["prelu"] = {"w": jnp.full((1,), 0.25, dtype)}
+    if cfg.final_act == "prelu":
+        # FinalActivation is a separate module instance (`network.py:302`).
+        params["final_prelu"] = {"w": jnp.full((1,), 0.25, dtype)}
     for idx, spec in enumerate(plan.layers):
         if spec.kind == "conv":
             key, sub = jax.random.split(key)
-            shape = (3, 3, 3, spec.in_ch, spec.out_ch)
-            fan_in = spec.in_ch * 27
-            fan_out = spec.out_ch * 27
+            shape = kshape + (spec.in_ch, spec.out_ch)
+            fan_in = spec.in_ch * taps
+            fan_out = spec.out_ch * taps
             if init_type == "kaiming":
                 std = math.sqrt(2.0 / fan_in)
             elif init_type == "xavier":
@@ -310,10 +321,34 @@ def unet_apply(
     policy in `ops/pallas/conv3x3.choose_impl`).
     """
     cfg = plan.config
-    act = get_activation(cfg.activation)
-    final_act = get_activation(cfg.final_act)
+    if cfg.activation == "prelu":
+        from anatomix_tpu.ops.activations import prelu
+
+        act = lambda v: prelu(v, params["prelu"]["w"])  # noqa: E731
+    else:
+        act = get_activation(cfg.activation)
+    if cfg.final_act == "prelu":
+        from anatomix_tpu.ops.activations import prelu
+
+        final_act = lambda v: prelu(  # noqa: E731
+            v, params["final_prelu"]["w"]
+        )
+    else:
+        final_act = get_activation(cfg.final_act)
     layers = tuple(layers)
     want_taps = len(layers) > 0
+
+    # 1D/2D inputs run as degenerate 3D volumes (leading singleton spatial
+    # axes, kernels already (1,)*off + (3,)*dim from init/convert); outputs
+    # and taps are deflated back to the caller's rank.
+    off = 3 - cfg.dimension
+    if off:
+        x = x.reshape(x.shape[:1] + (1,) * off + x.shape[1:])
+
+    def _deflate(v):
+        if not off:
+            return v
+        return v.reshape((v.shape[0],) + v.shape[1 + off:])
 
     feat = x
     feats: list[jax.Array] = []
@@ -444,13 +479,30 @@ def unet_apply(
         elif spec.kind == "act":
             feat = act(feat)
         elif spec.kind == "pool":
+            win = (1,) * off + (2,) * cfg.dimension
             feat = (
-                max_pool(feat, 2) if cfg.pooling == "Max" else avg_pool(feat, 2)
+                max_pool(feat, win)
+                if cfg.pooling == "Max"
+                else avg_pool(feat, win)
             )
         elif spec.kind == "upsample":
-            feat = upsample2x(
-                feat, "nearest" if cfg.interp == "nearest" else "trilinear"
-            )
+            if off:
+                from anatomix_tpu.ops.resize import resize3d
+
+                size = tuple(
+                    s if i < off else 2 * s
+                    for i, s in enumerate(feat.shape[1:4])
+                )
+                feat = resize3d(
+                    feat, size,
+                    mode="nearest" if cfg.interp == "nearest"
+                    else "trilinear",
+                )
+            else:
+                feat = upsample2x(
+                    feat,
+                    "nearest" if cfg.interp == "nearest" else "trilinear",
+                )
         elif spec.kind == "final_act":
             feat = final_act(feat)
 
@@ -471,10 +523,11 @@ def unet_apply(
             print(idx, spec.kind, tuple(feat.shape))
 
         if want_taps and idx in layers:
-            feats.append(feat)
+            feats.append(_deflate(feat))
             if encode_only and idx == layers[-1]:
                 return feats
 
+    feat = _deflate(feat)
     if want_taps:
         return (feat, feats) if not train else (feat, feats, new_stats)
     return feat if not train else (feat, new_stats)
@@ -495,11 +548,28 @@ def conv_block(
     stride: int = 1,
     norm_eps: float = 1e-5,
     lrelu_slope: float = 0.2,
+    prelu_weight: jax.Array | float = 0.25,
 ) -> jax.Array:
     """conv + optional norm + activation — the reference's standalone
-    `ConvBlock` (`network.py:13-124`, unused by the UNet itself but part of
-    the public surface; note its LeakyReLU slope is 0.2 vs the UNet
-    factory's 0.3)."""
+    `ConvBlock` (`network.py:13-124`, 1-3D: unused by the UNet itself but
+    part of the public surface; note its LeakyReLU slope is 0.2 vs the UNet
+    factory's 0.3).
+
+    `x` is channel-last with 1-3 spatial dims ((B, L, C) / (B, H, W, C) /
+    (B, D, H, W, C)); `w` may be native rank ((k..., I, O)) or degenerate-3D
+    DHWIO from `torch_conv_weight_to_jax`. 1D/2D run as degenerate 3D.
+    `prelu_weight` is torch `nn.PReLU()`'s learnable scalar (init 0.25).
+    """
+    ndims = x.ndim - 2
+    assert 1 <= ndims <= 3, f"expected 1-3 spatial dims, got input {x.shape}"
+    off = 3 - ndims
+    if w.ndim == ndims + 2 and off:
+        w = w.reshape((1,) * off + w.shape)
+    assert w.ndim == 5, f"kernel rank {w.ndim} does not match input"
+    if off:
+        x = x.reshape(x.shape[:1] + (1,) * off + x.shape[1:])
+    if isinstance(stride, int):
+        stride = (1,) * off + (stride,) * ndims
     y = conv3d(
         x, w, b, stride=stride, padding="SAME", pad_type=pad_type
     )
@@ -510,8 +580,16 @@ def conv_block(
         )
     elif norm == "instance":
         y = instance_norm(y, eps=norm_eps)
-    act = get_activation(activation, lrelu_slope=lrelu_slope)
-    return act(y) if act is not None else y
+    if activation == "prelu":
+        from anatomix_tpu.ops.activations import prelu
+
+        y = prelu(y, prelu_weight)
+    else:
+        act = get_activation(activation, lrelu_slope=lrelu_slope)
+        y = act(y) if act is not None else y
+    if off:
+        y = y.reshape((y.shape[0],) + y.shape[1 + off:])
+    return y
 
 
 # -----------------------------------------------------------------------------

@@ -24,9 +24,21 @@ def get_activation(name: str, *, lrelu_slope: float = 0.3):
     if name == "tanh":
         return jnp.tanh
     if name == "prelu":
-        # PReLU has a learned parameter; handled at the layer level. The
-        # callable here is the init-value (0.25) static version.
-        return lambda x: jnp.where(x >= 0, x, 0.25 * x)
+        # PReLU has a learned parameter; handled at the layer level (see
+        # `prelu` below and `models/unet.py`). The callable here is the
+        # init-value (0.25) static version.
+        return lambda x: prelu(x, 0.25)
     if name == "none":
         return None
     raise ValueError(f"Unsupported activation: {name}")
+
+
+def prelu(x, weight):
+    """torch `nn.PReLU`: `max(0,x) + weight * min(0,x)`.
+
+    `weight` is a learnable array — shape (1,) for torch's default
+    `num_parameters=1` (one scalar shared across channels, init 0.25,
+    `network.py:91,193`) — broadcast against x.
+    """
+    w = jnp.asarray(weight).astype(x.dtype)
+    return jnp.where(x >= 0, x, w * x)

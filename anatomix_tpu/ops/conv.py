@@ -115,10 +115,27 @@ def conv3d(
 
 
 def torch_conv_weight_to_jax(w: np.ndarray) -> np.ndarray:
-    """torch Conv3d weight (O, I, kD, kH, kW) -> DHWIO (kD, kH, kW, I, O)."""
-    return np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))
+    """torch ConvNd weight (O, I, k...) -> degenerate-3D DHWIO.
+
+    1D/2D kernels embed as 3D with leading singleton kernel axes:
+    Conv1d (O, I, k) -> (1, 1, k, I, O); Conv2d (O, I, kh, kw) ->
+    (1, kh, kw, I, O) — the layout under which 1D/2D models run through
+    the same NDHWC TPU conv path (`models/unet.py`)."""
+    ndims = w.ndim - 2
+    assert 1 <= ndims <= 3, f"conv weight rank {w.ndim} unsupported"
+    axes = tuple(range(2, 2 + ndims)) + (1, 0)
+    wj = np.ascontiguousarray(np.transpose(w, axes))
+    return wj.reshape((1,) * (3 - ndims) + wj.shape)
 
 
-def jax_conv_weight_to_torch(w: np.ndarray) -> np.ndarray:
-    """DHWIO (kD, kH, kW, I, O) -> torch Conv3d weight (O, I, kD, kH, kW)."""
-    return np.ascontiguousarray(np.transpose(w, (4, 3, 0, 1, 2)))
+def jax_conv_weight_to_torch(w: np.ndarray, dimension: int = 3) -> np.ndarray:
+    """Degenerate-3D DHWIO (kD, kH, kW, I, O) -> torch ConvNd weight
+    (O, I, k...), dropping the leading singleton kernel axes for
+    `dimension` < 3."""
+    t = np.ascontiguousarray(np.transpose(w, (4, 3, 0, 1, 2)))
+    for _ in range(3 - dimension):
+        assert t.shape[2] == 1, (
+            f"kernel axis not singleton for dimension={dimension}: {t.shape}"
+        )
+        t = t[:, :, 0]
+    return np.ascontiguousarray(t)

@@ -241,3 +241,180 @@ def test_golden_parity_full_128(rng):
     err = np.max(np.abs(got - ref))
     rel = err / (np.max(np.abs(ref)) + 1e-12)
     assert rel < 1e-3, f"relative max err {rel}"
+
+
+# -----------------------------------------------------------------------------
+# PReLU + 1D/2D (reference ConvBlock/Unet support ndims 1-3 and prelu,
+# `network.py:59,88-89,194,289`; VERDICT r2 item 7)
+
+@requires_reference
+def test_unet_prelu_parity(rng):
+    """PReLU: ONE shared learnable scalar across all act slots plus a
+    separate final-act instance; non-default weights so the conversion and
+    application are actually exercised."""
+    import torch
+
+    from anatomix_tpu.models.unet import unet_apply
+
+    kwargs = dict(
+        dimension=3, input_nc=1, output_nc=4, num_downs=2, ngf=4,
+        activation="prelu", final_act="prelu",
+    )
+    model = _torch_unet(**kwargs)
+    _randomize_bn_stats(model, rng)
+    prelus = [
+        m for m in model.modules() if isinstance(m, torch.nn.PReLU)
+    ]
+    # shared Activation instance + separate FinalActivation instance
+    assert len(prelus) == 2
+    with torch.no_grad():
+        prelus[0].weight.fill_(0.37)
+        prelus[1].weight.fill_(-0.11)
+    plan, params = _jax_from_torch(model, **kwargs)
+    assert float(np.asarray(params["prelu"]["w"])[0]) == pytest.approx(0.37)
+    assert float(np.asarray(params["final_prelu"]["w"])[0]) == pytest.approx(
+        -0.11
+    )
+
+    x = rng.standard_normal((1, 16, 16, 16, 1), dtype=np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    got = np.asarray(unet_apply(plan, params, x))
+    np.testing.assert_allclose(
+        got, np.moveaxis(ref, 1, -1), atol=5e-4, rtol=1e-3
+    )
+
+    # round-trip: our params -> torch state dict loads strict
+    from anatomix_tpu.models.convert import params_to_state_dict
+
+    sd = {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in params_to_state_dict(plan, params).items()
+    }
+    model.load_state_dict(sd, strict=True)
+
+
+@requires_reference
+@pytest.mark.parametrize("dim", [1, 2])
+def test_unet_lowdim_parity(rng, dim):
+    """1D/2D UNets run as degenerate 3D; outputs match the torch reference."""
+    import torch
+
+    from anatomix_tpu.models.unet import unet_apply
+
+    kwargs = dict(
+        dimension=dim, input_nc=2, output_nc=4, num_downs=2, ngf=4,
+        norm="batch", activation="lrelu",
+    )
+    model = _torch_unet(**kwargs)
+    for mod in model.modules():
+        if isinstance(mod, torch.nn.modules.batchnorm._BatchNorm):
+            with torch.no_grad():
+                mod.running_mean.copy_(
+                    torch.from_numpy(
+                        rng.standard_normal(
+                            mod.running_mean.shape[0]
+                        ).astype(np.float32) * 0.1
+                    )
+                )
+                mod.running_var.copy_(
+                    torch.from_numpy(
+                        (rng.random(mod.running_var.shape[0]) + 0.5).astype(
+                            np.float32
+                        )
+                    )
+                )
+    plan, params = _jax_from_torch(model, **kwargs)
+
+    spatial = (32,) * dim
+    x = rng.standard_normal((2, *spatial, 2), dtype=np.float32)
+    with torch.no_grad():
+        ref = model(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    got = np.asarray(unet_apply(plan, params, x))
+    assert got.shape == x.shape[:-1] + (4,)
+    np.testing.assert_allclose(
+        got, np.moveaxis(ref, 1, -1), atol=5e-4, rtol=1e-3
+    )
+
+    # taps keep the caller's rank
+    _, feats = unet_apply(plan, params, x, layers=[plan.num_layers - 1])
+    assert feats[0].ndim == x.ndim
+
+
+@requires_reference
+@pytest.mark.parametrize("ndims", [1, 2, 3])
+def test_conv_block_reference_parity(rng, ndims):
+    """Standalone ConvBlock (`network.py:13-124`) vs our `conv_block`:
+    1-3D, instance norm, prelu with a non-default weight."""
+    import sys
+
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import torch
+    from anatomix.model.network import ConvBlock as TorchConvBlock
+
+    from anatomix_tpu.models.unet import conv_block
+    from anatomix_tpu.ops.conv import torch_conv_weight_to_jax
+
+    blk = TorchConvBlock(
+        ndims, 3, 5, kernel_size=3, stride=1, bias=True,
+        padding="same", norm="instance", activation="prelu",
+        pad_type="reflect",
+    )
+    blk.eval()
+    with torch.no_grad():
+        blk.activation.weight.fill_(0.42)
+
+    spatial = (12,) * ndims
+    x = rng.standard_normal((2, *spatial, 3), dtype=np.float32)
+    with torch.no_grad():
+        ref = blk(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    got = np.asarray(
+        conv_block(
+            x,
+            torch_conv_weight_to_jax(blk.conv.weight.detach().numpy()),
+            blk.conv.bias.detach().numpy(),
+            norm="instance",
+            activation="prelu",
+            pad_type="reflect",
+            prelu_weight=blk.activation.weight.detach().numpy(),
+        )
+    )
+    np.testing.assert_allclose(
+        got, np.moveaxis(ref, 1, -1), atol=1e-4, rtol=1e-3
+    )
+
+
+@requires_reference
+def test_conv_block_lrelu_slope(rng):
+    """ConvBlock's LeakyReLU slope is 0.2 (vs the UNet factory's 0.3)."""
+    import sys
+
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import torch
+    from anatomix.model.network import ConvBlock as TorchConvBlock
+
+    from anatomix_tpu.models.unet import conv_block
+    from anatomix_tpu.ops.conv import torch_conv_weight_to_jax
+
+    blk = TorchConvBlock(
+        2, 2, 4, kernel_size=3, stride=1, bias=False, padding="same",
+        norm="none", activation="lrelu",
+    )
+    blk.eval()
+    x = rng.standard_normal((1, 10, 10, 2), dtype=np.float32)
+    with torch.no_grad():
+        ref = blk(torch.from_numpy(np.moveaxis(x, -1, 1))).numpy()
+    got = np.asarray(
+        conv_block(
+            x,
+            torch_conv_weight_to_jax(blk.conv.weight.detach().numpy()),
+            None,
+            norm="none",
+            activation="lrelu",
+        )
+    )
+    np.testing.assert_allclose(
+        got, np.moveaxis(ref, 1, -1), atol=1e-5, rtol=1e-4
+    )
