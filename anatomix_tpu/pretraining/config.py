@@ -100,6 +100,12 @@ class PretrainConfig:
 
     # parallelism
     data_parallel_devices: int = 0  # 0 = all local devices
+    # multi-host data parallelism (SURVEY §2.6/§5.8): one trainer process
+    # per host, global 'data' mesh over every device, batch_size = GLOBAL
+    # batch; each process reads only its contiguous shard of the batch and
+    # the pipeline is per-item deterministic, so the loss is identical for
+    # any process count on the same global batch.
+    multihost: bool = False
 
     def tap_layers(self):
         return tuple(int(i) for i in self.nce_layers)

@@ -160,9 +160,19 @@ def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches):
 
 def train(cfg: PretrainConfig, train_h5: str | None = None,
           val_h5: str | None = None):
+    # multi-host: initialize jax.distributed BEFORE any other backend use
+    # (one trainer process per host; SURVEY §2.6/§5.8 design obligation)
+    pid, nproc = 0, 1
+    if cfg.multihost:
+        from anatomix_tpu.parallel import multihost as mh
+
+        mh.initialize_distributed()
+        pid, nproc = jax.process_index(), jax.process_count()
+
     run_dir = os.path.join(cfg.ckpt_dir, cfg.name)
     os.makedirs(run_dir, exist_ok=True)
-    cfg.save(os.path.join(run_dir, "train_opt.json"))
+    if pid == 0:
+        cfg.save(os.path.join(run_dir, "train_opt.json"))
 
     train_h5 = train_h5 or os.path.join(cfg.dataroot, "train_data.hdf5")
     val_h5 = val_h5 or os.path.join(cfg.dataroot, "val_data.hdf5")
@@ -181,12 +191,29 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         )
 
     mesh = None
-    n_dev = cfg.data_parallel_devices or len(jax.devices())
-    if n_dev > 1 and cfg.batch_size % n_dev == 0:
-        from jax.sharding import Mesh
+    repl_sharding = None
+    if cfg.multihost:
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
-        print(f"Data-parallel over {n_dev} devices")
+        mesh = mh.global_data_mesh()
+        if cfg.batch_size % mesh.size:
+            raise ValueError(
+                f"multihost: global batch_size {cfg.batch_size} must divide "
+                f"evenly over {mesh.size} global devices"
+            )
+        repl_sharding = NamedSharding(mesh, P())
+        if pid == 0:
+            print(
+                f"Multi-host data-parallel: {nproc} processes, "
+                f"{mesh.size} devices, global batch {cfg.batch_size}"
+            )
+    else:
+        n_dev = cfg.data_parallel_devices or len(jax.devices())
+        if n_dev > 1 and cfg.batch_size % n_dev == 0:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+            print(f"Data-parallel over {n_dev} devices")
 
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     plan, taps, state, step = build_all(cfg, steps_per_epoch, mesh)
@@ -280,7 +307,25 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                 lr_scale=jnp.asarray(plateau.lr / cfg.lr, jnp.float32)
             )
 
-    logger = ScalarLogger(run_dir, purge_step=total_iters or None)
+    if cfg.multihost:
+        # replicate the train state over the global mesh (identical local
+        # copies on every process -> a fully-replicated global array)
+        state = jax.device_put(state, repl_sharding)
+
+    if pid == 0:
+        logger = ScalarLogger(run_dir, purge_step=total_iters or None)
+    else:  # non-zero ranks never write artifacts
+        class _NullLogger:
+            def log(self, *a, **k):
+                pass
+
+            def log_text(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        logger = _NullLogger()
     rng_np = np.random.default_rng(cfg.seed + total_iters)
     # the prefetch worker thread draws from its own child generator: numpy
     # Generators are not thread-safe and prepare_batch overlaps the main
@@ -292,7 +337,7 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
     t_data, t_step = 0.0, 0.0
     stop = False
 
-    def prepare_batch(idxs, keys):
+    def prepare_batch(idxs, keys, rngs):
         """Host H5 read + H2D transfer + on-device paired augmentation.
 
         Runs on a worker thread so the (tunnel-slow) host->device copies
@@ -300,8 +345,8 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         replacement for the reference's DataLoader workers
         (`pretraining/data/__init__.py:89-97`)."""
         views_list, segs_list = [], []
-        for i, sub in zip(idxs, keys):
-            img_a, img_b, seg = train_ds.get(int(i), rng_data)
+        for i, sub, item_rng in zip(idxs, keys, rngs):
+            img_a, img_b, seg = train_ds.get(int(i), item_rng)
             # ship compactly through the ~40 MB/s tunnel (f32 would cost
             # ~0.6 s/item, more than the train step): [0,1]-normalized
             # images as f16 (quantization intentional — inputs are
@@ -324,18 +369,50 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
 
     pool = ThreadPoolExecutor(max_workers=1)
 
+    local_bs = cfg.batch_size // nproc
+
     def batch_futures():
         nonlocal key
         for epoch in range(n_epochs_total):
-            order = rng_np.permutation(len(train_ds))
-            for start in range(0, steps_per_epoch * cfg.batch_size,
-                               cfg.batch_size):
+            if cfg.multihost:
+                # epoch-seeded shared permutation: every process sees the
+                # same global batch composition and reads only its
+                # contiguous shard; per-item RNG is derived from
+                # (seed, global step, batch position), so the pipeline is
+                # process-count-invariant (same global batch -> same loss)
+                order = np.random.default_rng(
+                    [cfg.seed, 7919 + epoch]
+                ).permutation(len(train_ds))
+            else:
+                order = rng_np.permutation(len(train_ds))
+            for step_i, start in enumerate(
+                range(0, steps_per_epoch * cfg.batch_size, cfg.batch_size)
+            ):
                 idxs = order[start: start + cfg.batch_size]
-                keys = []
-                for _ in idxs:
-                    key, sub = jax.random.split(key)
-                    keys.append(sub)
-                yield epoch, pool.submit(prepare_batch, idxs, keys)
+                if cfg.multihost:
+                    gstep = epoch * steps_per_epoch + step_i
+                    base = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed + 1), gstep
+                    )
+                    lo = pid * local_bs
+                    idxs = idxs[lo: lo + local_bs]
+                    keys = [
+                        jax.random.fold_in(base, lo + j)
+                        for j in range(local_bs)
+                    ]
+                    rngs = [
+                        np.random.default_rng(
+                            [cfg.seed, 104729 + gstep, lo + j]
+                        )
+                        for j in range(local_bs)
+                    ]
+                else:
+                    keys = []
+                    for _ in idxs:
+                        key, sub = jax.random.split(key)
+                        keys.append(sub)
+                    rngs = [rng_data] * len(idxs)
+                yield epoch, pool.submit(prepare_batch, idxs, keys, rngs)
 
     it = batch_futures()
     pending = next(it, None)
@@ -344,10 +421,16 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
         t0 = time.time()
         views, segs = fut.result()
         pending = next(it, None)  # queue the next batch immediately
+        views_local, segs_local = views, segs  # this process's shard
+        if cfg.multihost:
+            # assemble global batch-sharded arrays from per-process shards
+            views, segs = mh.global_batch_from_local(mesh, (views, segs))
         t_data = 0.9 * t_data + 0.1 * (time.time() - t0)
 
         t0 = time.time()
         key, sub = jax.random.split(key)
+        if cfg.multihost:
+            sub = jax.device_put(sub, repl_sharding)
         state, metrics = step(state, views, segs, sub)
         total_iters += 1
         t_step = 0.9 * t_step + 0.1 * (time.time() - t0)
@@ -366,10 +449,16 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                 f"loss: {float(metrics['loss']):.4f}"
             )
 
-        if cfg.display_freq and total_iters % cfg.display_freq == 0:
+        if (
+            pid == 0
+            and cfg.display_freq
+            and total_iters % cfg.display_freq == 0
+        ):
             # mid-slice panels of the current batch (reference
             # `trainers/train.py:256-258` display cadence); fetch only the
-            # mid slices — whole volumes are slow through the tunnel
+            # mid slices — whole volumes are slow through the tunnel.
+            # Uses the process-LOCAL shard (global batch slices are not
+            # addressable cross-process).
             def _mid(v):
                 return np.asarray(v[v.shape[0] // 2])[None]
 
@@ -377,27 +466,27 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                 logger,
                 "train/visuals",
                 {
-                    "view1": _mid(views[0, 0]),
-                    "view2": _mid(views[0, 1]),
-                    "seg": _mid(segs[0].astype(jnp.float32)),
+                    "view1": _mid(views_local[0, 0]),
+                    "view2": _mid(views_local[0, 1]),
+                    "seg": _mid(segs_local[0].astype(jnp.float32)),
                 },
                 total_iters,
             )
 
-        if total_iters % cfg.save_latest_freq == 0:
+        if pid == 0 and total_iters % cfg.save_latest_freq == 0:
             # periodic volume dumps of the live training tensors
             # (`trainers/train.py:302-309` + `util/util.py:39-75`)
             vis_dir = os.path.join(run_dir, "visuals")
             save_tensor(
-                np.asarray(views[0, 0].astype(jnp.float16)),
+                np.asarray(views_local[0, 0].astype(jnp.float16)),
                 os.path.join(vis_dir, "latest_view1.nii.gz"),
             )
             save_tensor(
-                np.asarray(views[0, 1].astype(jnp.float16)),
+                np.asarray(views_local[0, 1].astype(jnp.float16)),
                 os.path.join(vis_dir, "latest_view2.nii.gz"),
             )
             save_tensor(
-                np.asarray(segs[0]),
+                np.asarray(segs_local[0]),
                 os.path.join(vis_dir, "latest_seg.nii.gz"),
             )
             save_state_leaves(state_path, state)
@@ -411,11 +500,15 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
             )
 
         if total_iters % cfg.evaluation_freq == 0:
-            save_pytree(
-                os.path.join(run_dir, f"{total_iters}_net_G.npz"),
-                state.params_g,
-            )
-            save_state_leaves(state_path, state)
+            if pid == 0:
+                save_pytree(
+                    os.path.join(run_dir, f"{total_iters}_net_G.npz"),
+                    state.params_g,
+                )
+                save_state_leaves(state_path, state)
+            # val (and the plateau lr_scale it drives) runs on EVERY
+            # process — identical inputs, lockstep SPMD — so the
+            # replicated train state stays consistent across hosts
             if val_ds is not None:
                 val_loss = compute_val_loss(
                     plan, cfg, taps, state, val_ds, rng_np,
@@ -429,29 +522,41 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
                             new_lr / cfg.lr, jnp.float32
                         )
                     )
-                    import json
+                    if cfg.multihost:
+                        # the fresh lr_scale leaf is process-local;
+                        # re-replicate so the next step sees one global
+                        # state again
+                        state = jax.device_put(state, repl_sharding)
+                    if pid == 0:
+                        import json
 
-                    with open(plateau_path, "w") as f:
-                        json.dump(dataclasses.asdict(plateau), f)
+                        with open(plateau_path, "w") as f:
+                            json.dump(dataclasses.asdict(plateau), f)
                     logger.log(total_iters, {"lr": new_lr})
                 if val_loss < best_val:
                     best_val = val_loss
-                    save_pytree(
-                        os.path.join(run_dir, "best_val_net_G.npz"),
-                        state.params_g,
-                    )
-                    with open(
-                        os.path.join(run_dir, "best_val_loss.txt"), "w"
-                    ) as f:
-                        f.write(str(best_val))
+                    if pid == 0:
+                        save_pytree(
+                            os.path.join(run_dir, "best_val_net_G.npz"),
+                            state.params_g,
+                        )
+                        with open(
+                            os.path.join(run_dir, "best_val_loss.txt"), "w"
+                        ) as f:
+                            f.write(str(best_val))
 
         if cfg.max_iters and total_iters >= cfg.max_iters:
             stop = True
             break
 
-    save_state_leaves(state_path, state)
-    save_pytree(os.path.join(run_dir, "latest_net_G.npz"), state.params_g)
-    save_pytree(os.path.join(run_dir, "latest_net_F.npz"), state.params_f)
+    if pid == 0:
+        save_state_leaves(state_path, state)
+        save_pytree(
+            os.path.join(run_dir, "latest_net_G.npz"), state.params_g
+        )
+        save_pytree(
+            os.path.join(run_dir, "latest_net_F.npz"), state.params_f
+        )
     logger.close()
     train_ds.close()
     if val_ds is not None:
