@@ -483,14 +483,17 @@ def _decoder(cfg, dec, grid, compute_dtype=None):
             "bdhwc,ce->bdhwe", y.astype(dt), w2.astype(dt),
             preferred_element_type=jnp.float32,
         ).astype(dt)
-        y = (_d2s(yb) if on_tpu and co >= 8 else _depth_to_space(yb)).astype(
-            jnp.float32
-        )
+        # stay in compute dtype between stages: materializing the d2s
+        # output in f32 cost ~4.3 ms of pure HBM traffic at the 128³ stage
+        # (trace r3); the inter-stage LayerNorm computes its statistics in
+        # f32 internally regardless, and the final f32 cast happens once at
+        # the decoder output.
+        y = _d2s(yb) if on_tpu and co >= 8 else _depth_to_space(yb)
         if "b" in p:
-            y = y + p["b"]
+            y = y + p["b"].astype(y.dtype)
         if i < n - 1:
             y = jax.nn.gelu(channel_layer_norm(y, eps=1e-6))
-    return y
+    return y.astype(jnp.float32)
 
 
 def primus_apply(

@@ -41,6 +41,18 @@ _OFF = {v: 1 + (v // 2) for v in (-1, 0, 1, 2)}
 _PAR = {v: v % 2 for v in (-1, 0, 1, 2)}
 
 
+def _dot_precision(dtype):
+    """f32 operands must request HIGHEST precision: the TPU default runs
+    fast bf16-class passes, which broke the hardware grad-parity bound that
+    interpret mode (exact f32 math) satisfies (tests/test_tpu_numerics.py).
+    bf16 operands keep the default fast path."""
+    import jax.numpy as _jnp
+
+    return (
+        jax.lax.Precision.HIGHEST if dtype == _jnp.float32 else None
+    )
+
+
 def _apply_act(acc, act: str):
     if act == "none":
         return acc
@@ -100,6 +112,7 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
             z = jax.lax.dot_general(
                 chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(x_vmem.dtype),
             )
             acc = z if acc is None else acc + z
     acc = acc + b_ref[0].astype(jnp.float32)
@@ -399,11 +412,13 @@ def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
             z = jax.lax.dot_general(
                 enc_chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(w_ref.dtype),
             )
             acc = z if acc is None else acc + z
         acc += jax.lax.dot_general(
             sm_group(gw), w_ref[4 * rows:], dn,
             preferred_element_type=jnp.float32,
+            precision=_dot_precision(w_ref.dtype),
         )
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)

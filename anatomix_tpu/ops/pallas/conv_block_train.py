@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from anatomix_tpu.ops.pallas.conv_block import (
+    _dot_precision,
     _OFF,
     _PAR,
     _VMEM_LIMIT,
@@ -154,6 +155,7 @@ def _kernel_wgrad(x_hbm, dy_ref, w0_ref, w1_ref, w2_ref, x_vmem, sem, *,
             part = jax.lax.dot_general(
                 chunk(vd, vws).reshape(M, rows), dy2, dn,
                 preferred_element_type=jnp.float32,
+                precision=_dot_precision(dy2.dtype),
             )
             w_ref[n * rows: (n + 1) * rows] += part
 

@@ -201,10 +201,49 @@ def main():
         t1 = pipeline_time(ext.impl, xf, n=4, reps=3, args=(ext.arrays,))
         t2 = pipeline_time(ext.impl, vol256, n=2, reps=2,
                            args=(ext.arrays,))
-        return t1, t2
+        return t1, t2, dev_plan, dev_params, ext
 
-    t_dev_fwd, t_dev256 = _section("dev", _dev, (None, None))
+    t_dev_fwd, t_dev256, dev_plan, dev_params, dev_ext = _section(
+        "dev", _dev, (None, None, None, None, None)
+    )
     _progress("dev 256 full_tiled done: %s" % t_dev256)
+
+    # --- dev 94M reference-exact sliding @256³ + full_tiled fidelity at
+    # real scale (VERDICT r2 item 4): sliding seconds and the mean
+    # voxelwise cosine between the full_tiled approximation and the
+    # reference-exact per-window-IN sliding output --------------------------
+    def _dev_fidelity():
+        ext_sw = make_feature_extractor(
+            dev_plan, dev_params, strategy="sliding",
+            roi_size=(128, 128, 128), overlap=0.8,
+            compute_dtype=compute_dtype,
+        )
+        t_sw_dev = pipeline_time(
+            ext_sw.impl, vol256, n=1, reps=1, args=(ext_sw.arrays,)
+        )
+
+        @jax.jit
+        def _cos(a, b):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
+            num = jnp.sum(a * b, axis=-1)
+            den = jnp.linalg.norm(a, axis=-1) * jnp.linalg.norm(
+                b, axis=-1
+            ) + 1e-8
+            return jnp.mean(num / den)
+
+        y_tiled = dev_ext.impl(vol256, dev_ext.arrays)
+        y_sw = ext_sw.impl(vol256, ext_sw.arrays)
+        cos = float(_cos(y_tiled, y_sw))
+        return t_sw_dev, cos
+
+    t_dev_sw, dev_cos = (
+        _section("dev_fidelity", _dev_fidelity, (None, None))
+        if dev_ext is not None
+        else (None, None)
+    )
+    _progress(f"dev sliding 256 done: {t_dev_sw}; tiled-vs-sliding "
+              f"cosine {dev_cos}")
 
     # --- anatomix-dev-vit 26M ViT: 128³ fwd + reference-exact 256³ sliding
     # (the ViT is input-shape-bound, README.md:47) --------------------------
@@ -258,6 +297,8 @@ def main():
             "pretrain_step_seconds_128crop": _r(t_step, 3),
             "dev_unet_fwd_seconds_128": _r(t_dev_fwd, 4),
             "dev_unet_full_tiled_256_seconds": _r(t_dev256, 3),
+            "dev_sliding_256_seconds": _r(t_dev_sw, 3),
+            "dev_full_tiled_vs_sliding_cosine": _r(dev_cos, 4),
             "vit_fwd_seconds_128": _r(t_vit_fwd, 4),
             "vit_sliding_256_seconds": _r(t_vit256, 3),
             "compute_dtype": "bfloat16",
