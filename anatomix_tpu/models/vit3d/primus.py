@@ -461,6 +461,104 @@ def _tokenizer_v2(cfg, tok, x, compute_dtype=None):
     return y  # (B, d, h, w, embed)
 
 
+def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
+    """Block-space tokenizer: residual-stage convs run as sparse Pallas
+    block GEMMs with instance norms (+ residual + LeakyReLU) fused into
+    block-layout elementwise passes — one s2d/d2s pair per stage replaces
+    the XLA conv/norm relayout traffic (trace r3: the XLA tokenizer cost
+    6.3 ms of convs + 8.5 ms of norm-glue copies out of the 34.4 ms ViT
+    forward). Exact same math as `_tokenizer_v2` (bf16-level differences
+    only); stem and stride-2 downsample convs stay XLA."""
+    from anatomix_tpu.models.unet_fused import _instance_norm_any
+    from anatomix_tpu.ops.pallas.conv_block import conv_block_sparse
+    from anatomix_tpu.ops.pallas.conv_block_train import (
+        pack_sparse_weights_jnp,
+    )
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space,
+        space_to_depth,
+    )
+
+    interpret = jax.default_backend() == "cpu"
+    # no compute_dtype = full-precision semantics: the kernels request
+    # HIGHEST-precision f32 dots (production passes bf16 explicitly)
+    cd = compute_dtype or jnp.float32
+
+    def lrelu(v):
+        return jax.nn.leaky_relu(v, negative_slope=0.01)
+
+    def conv(p, v, stride=1):
+        return conv3d(
+            v, p["w"], p.get("b"), stride=stride, padding="SAME"
+            if stride == 1 else [(1, 1)] * 3,
+            compute_dtype=compute_dtype,
+        )
+
+    def pack(p):
+        w = p["w"].astype(cd)
+        co = w.shape[-1]
+        w0, w1, w2 = pack_sparse_weights_jnp(w)
+        b = p.get("b")
+        b = jnp.zeros((co,), jnp.float32) if b is None else b
+        return {
+            "w0": w0, "w1": w1, "w2": w2,
+            "b8": jnp.tile(b.astype(jnp.float32), 8)[None],
+            "act": "none", "ci": w.shape[3], "co": co,
+        }
+
+    def norm_act(v):
+        return lrelu(instance_norm(v, eps=cfg.in_eps))
+
+    def stage_sparse_ok(stage):
+        # the sparse GEMM weight format is 64x the dense taps: deep wide
+        # stages (256ch) blow scoped VMEM — those stay XLA (cheap anyway:
+        # small spatial dims)
+        ci = stage["down"]["w"].shape[-1]
+        return ci % 16 == 0 and 64 * ci * 8 * ci * 2 <= 18 * 2 ** 20
+
+    y = norm_act(conv(tok["stem"], x))
+    for stage in tok["stages"]:
+        y = norm_act(conv(stage["down"], y, stride=2))
+        if not stage["blocks"]:
+            continue
+        if not stage_sparse_ok(stage):
+            for blk in stage["blocks"]:
+                r = y
+                y = norm_act(conv(blk["conv1"], y))
+                y = conv(blk["conv2"], y)
+                y = jax.nn.leaky_relu(
+                    instance_norm(y, eps=cfg.in_eps) + r,
+                    negative_slope=0.01,
+                )
+            continue
+        yb = space_to_depth(y.astype(cd), interpret=interpret)
+        for blk in stage["blocks"]:
+            r = yb
+            z = conv_block_sparse(
+                yb, pack(blk["conv1"]), pad_type="zeros",
+                interpret=interpret,
+            )
+            z = _instance_norm_any(
+                z, True, eps=cfg.in_eps, act_fn=lrelu
+            )
+            z = conv_block_sparse(
+                z, pack(blk["conv2"]), pad_type="zeros",
+                interpret=interpret,
+            )
+            # IN + residual + act ride one block-layout elementwise pass
+            yb = _instance_norm_any(
+                z, True, eps=cfg.in_eps,
+                act_fn=lambda v: lrelu(v + r.astype(jnp.float32)),
+            )
+        y = depth_to_space(yb, interpret=interpret)
+        if compute_dtype is None:
+            y = y.astype(x.dtype)  # block path ran bf16; XLA ops expect
+            # operand dtypes to match the f32 weights
+    y = conv3d(y, tok["proj"]["w"], tok["proj"].get("b"),
+               compute_dtype=compute_dtype)
+    return y
+
+
 def _decoder(cfg, dec, grid, compute_dtype=None):
     """Transposed-conv ×2 stages back to full resolution.
 
@@ -504,10 +602,15 @@ def primus_apply(
     layers=None,
     encode_only: bool = False,
     compute_dtype=None,
+    tokenizer_impl: str = "auto",
 ):
     """Forward pass with the anatomix pretraining interface
     (`architectures.py:126-165`): plain -> normalized volume; `layers`
-    truthy -> (volume, [volume]) or, with `encode_only`, [volume]."""
+    truthy -> (volume, [volume]) or, with `encode_only`, [volume].
+
+    `tokenizer_impl`: 'auto' = block-space Pallas tokenizer on TPU, XLA on
+    CPU; 'fused' / 'xla' force (the fused path uses interpret mode on CPU,
+    for tests)."""
     if tuple(x.shape[1:4]) != tuple(cfg.input_shape):
         raise ValueError(
             f"Primus is bound to input_shape={cfg.input_shape}; got "
@@ -516,7 +619,11 @@ def primus_apply(
     B = x.shape[0]
 
     if cfg.version == "v2":
-        grid = _tokenizer_v2(
+        use_fused = tokenizer_impl == "fused" or (
+            tokenizer_impl == "auto" and jax.default_backend() != "cpu"
+        )  # per-stage sparse/XLA gating lives in _tokenizer_v2_fused
+        tok_fn = _tokenizer_v2_fused if use_fused else _tokenizer_v2
+        grid = tok_fn(
             cfg, params["tokenizer"], x, compute_dtype=compute_dtype
         )
     else:

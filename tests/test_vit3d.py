@@ -310,3 +310,47 @@ def test_rope_half_matches_interleaved():
     old = np.asarray(_apply_rope(x, cos, sin))[..., perm]
     new = np.asarray(_apply_rope_half(x[..., perm], cos, sin))
     np.testing.assert_allclose(new, old, atol=1e-6)
+
+
+def test_tokenizer_fused_matches_xla(rng):
+    """Block-space Pallas tokenizer == plain XLA tokenizer (f32, interpret
+    mode; the fused path is the TPU default via tokenizer_impl='auto')."""
+    import jax
+    import jax.numpy as jnp
+
+    from anatomix_tpu.models.vit3d.primus import (
+        PrimusConfig,
+        _tokenizer_v2,
+        _tokenizer_v2_fused,
+        init_primus_params,
+        primus_apply,
+    )
+
+    cfg = PrimusConfig(
+        embed_dim=64, eva_depth=1, eva_numheads=2,
+        patch_embed_size=(8, 8, 8), input_shape=(32, 32, 32),
+        num_register_tokens=2, tokenizer_base_features=16, in_eps=1e-2,
+        num_classes=8,
+    )
+    params = init_primus_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    a = _tokenizer_v2(cfg, params["tokenizer"], x,
+                      compute_dtype=jnp.float32)
+    b = _tokenizer_v2_fused(cfg, params["tokenizer"], x,
+                            compute_dtype=jnp.float32)
+    a, b = np.asarray(a), np.asarray(b)
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+    assert rel < 1e-3, rel
+
+    # full forward with the fused tokenizer forced (interpret on CPU)
+    y_x = primus_apply(cfg, params, x, compute_dtype=jnp.float32,
+                       tokenizer_impl="xla")
+    y_f = primus_apply(cfg, params, x, compute_dtype=jnp.float32,
+                       tokenizer_impl="fused")
+    rel2 = (
+        np.abs(np.asarray(y_f) - np.asarray(y_x)).max()
+        / (np.abs(np.asarray(y_x)).max() + 1e-8)
+    )
+    assert rel2 < 1e-3, rel2

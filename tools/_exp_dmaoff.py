@@ -1,12 +1,14 @@
-"""Mosaic feasibility probes for the in-kernel halo plan:
+"""Mosaic feasibility probes for the in-kernel halo plan, round 2.
 
-1. make_async_copy into a VMEM destination sliced at a sublane (w-axis)
-   offset of 1 — needed to DMA the interior while leaving halo columns.
-2. make_async_copy with a SCALAR-clamped source row index (edge halo).
-3. single-sublane-column VMEM write (x_vmem[:, 0] = x_vmem[:, 1]).
+Round-1 result: DMA into a VMEM destination at an UNALIGNED sublane offset
+(1) crashes the Mosaic compiler (INTERNAL). Retry with TILE-ALIGNED
+sublane offsets (8) — the halo design then places the interior at column 8
+and fills columns 7 / 8+w as edge copies.
+
+1. 2-D: DMA into dst rows [8, 16) of a (24, 128) VMEM; fill rows 7, 16.
+2. scalar-clamped source row index (edge halo row selection).
+3. 4-D conv-tile shape: DMA into w-columns [8, 8+16) and fill 7 / 24.
 """
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -20,13 +22,13 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 def probe1():
     def kernel(x_hbm, out_ref, vmem, sem):
         dma = pltpu.make_async_copy(
-            x_hbm.at[:, :], vmem.at[pl.ds(1, 8), :], sem
+            x_hbm.at[:, :], vmem.at[pl.ds(8, 8), :], sem
         )
         dma.start()
         dma.wait()
-        vmem[0] = vmem[1]
-        vmem[9] = vmem[8]
-        out_ref[...] = vmem[...]
+        vmem[7] = vmem[8]
+        vmem[16] = vmem[15]
+        out_ref[...] = vmem[pl.ds(7, 10)]
 
     x = jnp.arange(8 * 128, dtype=jnp.bfloat16).reshape(8, 128)
     out = pl.pallas_call(
@@ -35,7 +37,7 @@ def probe1():
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((10, 128), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((10, 128), jnp.bfloat16),
+            pltpu.VMEM((24, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )(x)
@@ -43,15 +45,17 @@ def probe1():
         [np.asarray(x)[:1], np.asarray(x), np.asarray(x)[-1:]], 0
     )
     ok = np.array_equal(np.asarray(out), ref)
-    print("probe1 sublane-offset DMA dst:", "OK" if ok else "MISMATCH")
+    print("probe1 tile-aligned sublane-offset DMA dst:",
+          "OK" if ok else "MISMATCH")
 
 
 def probe2():
+    # scalar-clamped src row per grid step; output block (8, 128)
     def kernel(x_hbm, out_ref, vmem, sem):
         i = pl.program_id(0)
         row = jnp.maximum(i * 4 - 1, 0)
         dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(row, 1)], vmem.at[pl.ds(0, 1)], sem
+            x_hbm.at[pl.ds(row, 8)], vmem.at[:], sem
         )
         dma.start()
         dma.wait()
@@ -63,31 +67,30 @@ def probe2():
         grid=(4,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((4, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((32, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, 128), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(x)
-    ref = np.asarray(x)[[0, 3, 7, 11]]
+    xa = np.asarray(x)
+    ref = np.concatenate([xa[0:8], xa[3:11], xa[7:15], xa[8:16]], 0)
     ok = np.array_equal(np.asarray(out), ref)
     print("probe2 scalar-clamped src row DMA:", "OK" if ok else "MISMATCH")
 
 
 def probe3():
-    # 4-D tile like the conv kernel's x_vmem: (td, th, W, c) with a
-    # sublane-offset DMA on the W axis and column edge fills
     def kernel(x_hbm, out_ref, vmem, sem):
         dma = pltpu.make_async_copy(
-            x_hbm.at[:, :, :, :], vmem.at[:, :, pl.ds(1, 16), :], sem
+            x_hbm.at[:, :, :, :], vmem.at[:, :, pl.ds(8, 16), :], sem
         )
         dma.start()
         dma.wait()
-        vmem[:, :, 0] = vmem[:, :, 1]
-        vmem[:, :, 17] = vmem[:, :, 16]
-        out_ref[...] = vmem[...]
+        vmem[:, :, 7] = vmem[:, :, 8]
+        vmem[:, :, 24] = vmem[:, :, 23]
+        out_ref[...] = vmem[:, :, pl.ds(7, 18)]
 
     x = jnp.asarray(
         np.random.default_rng(0)
@@ -100,14 +103,14 @@ def probe3():
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, 3, 18, 128), jnp.bfloat16),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, 18, 128), jnp.bfloat16),
+            pltpu.VMEM((2, 3, 32, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
     )(x)
     xa = np.asarray(x)
     ref = np.concatenate([xa[:, :, :1], xa, xa[:, :, -1:]], 2)
     ok = np.array_equal(np.asarray(out), ref)
-    print("probe3 4-D sublane-offset DMA + column fills:",
+    print("probe3 4-D tile-aligned w-offset DMA + column fills:",
           "OK" if ok else "MISMATCH")
 
 
