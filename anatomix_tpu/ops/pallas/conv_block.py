@@ -131,6 +131,182 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
         out_ref[0] = acc.astype(out_ref.dtype)
 
 
+# -----------------------------------------------------------------------------
+# In-kernel halo variant: the HBM-side `jnp.pad` halo (a bandwidth-bound
+# full copy of the input — 2.18 ms/window of the round-3 6M sliding trace)
+# is replaced by NINE clamped-source DMAs assembling the halo'd tile
+# directly in VMEM. For reflect padding (the production path) the halo is
+# an edge copy in block space, and an edge copy IS source-index clamping —
+# so the same static-shape DMAs serve interior and boundary tiles with no
+# conditionals. Clamped indices ride a scalar-prefetch SMEM map (the
+# Mosaic-canonical pattern for data-dependent DMA offsets). The w-axis
+# halo cannot be DMA'd (destination sublane offsets must be tile-aligned;
+# tools/_exp_dmaoff.py), so the interior lands at sublane offset 8 and the
+# two halo columns are filled by in-kernel edge copies.
+
+
+def _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref, i, j, *,
+                 td, th, w, off):
+    """Start 9 DMAs assembling an edge-halo'd (td+2, th+2, w+2) tile:
+    core + 4 edge strips + 4 corners, source indices pre-clamped in the
+    SMEM maps (dmap[i] = (i*td, max(i*td-1, 0), min(i*td+td, d-1)))."""
+    d0, top, bot = dmap_ref[i, 0], dmap_ref[i, 1], dmap_ref[i, 2]
+    h0, lef, rig = hmap_ref[j, 0], hmap_ref[j, 1], hmap_ref[j, 2]
+    dst_w = pl.ds(off, w)
+    pieces = (
+        ((pl.ds(d0, td), pl.ds(h0, th)), (pl.ds(1, td), pl.ds(1, th))),
+        ((pl.ds(top, 1), pl.ds(h0, th)), (pl.ds(0, 1), pl.ds(1, th))),
+        ((pl.ds(bot, 1), pl.ds(h0, th)),
+         (pl.ds(td + 1, 1), pl.ds(1, th))),
+        ((pl.ds(d0, td), pl.ds(lef, 1)), (pl.ds(1, td), pl.ds(0, 1))),
+        ((pl.ds(d0, td), pl.ds(rig, 1)),
+         (pl.ds(1, td), pl.ds(th + 1, 1))),
+        ((pl.ds(top, 1), pl.ds(lef, 1)), (pl.ds(0, 1), pl.ds(0, 1))),
+        ((pl.ds(top, 1), pl.ds(rig, 1)),
+         (pl.ds(0, 1), pl.ds(th + 1, 1))),
+        ((pl.ds(bot, 1), pl.ds(lef, 1)),
+         (pl.ds(td + 1, 1), pl.ds(0, 1))),
+        ((pl.ds(bot, 1), pl.ds(rig, 1)),
+         (pl.ds(td + 1, 1), pl.ds(th + 1, 1))),
+    )
+    dmas = []
+    for k, ((sd, sh), (dd, dh)) in enumerate(pieces):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, sd, sh, :, :],
+            x_vmem.at[dd, dh, dst_w, :],
+            sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    return dmas
+
+
+def _kernel_halo(dmap_ref, hmap_ref, x_hbm, w0_ref, w1_ref, w2_ref, b_ref,
+                 out_ref, x_vmem, sems, *, td, th, W, ci, act, interpret):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    for dma in _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref,
+                            i, j, td=td, th=th, w=W, off=off):
+        dma.wait()
+    # w-axis halo: edge copies into the (sublane-unaligned) flanking
+    # columns — a small in-VMEM vector op (probe1, tools/_exp_dmaoff.py)
+    x_vmem[:, :, off - 1] = x_vmem[:, :, off]
+    x_vmem[:, :, off + W] = x_vmem[:, :, off + W - 1]
+
+    base = off - 1
+
+    def chunk(vd, vws):
+        views = []
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    x_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        base + _OFF[vw]: base + _OFF[vw] + W,
+                        g: g + ci,
+                    ]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    dn = (((3,), (0,)), ((), ()))
+    acc = None
+    for w_ref, vws in ((w1_ref, (0, 1)), (w0_ref, (-1,)), (w2_ref, (2,))):
+        rows = 4 * len(vws) * ci
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            z = jax.lax.dot_general(
+                chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(x_vmem.dtype),
+            )
+            acc = z if acc is None else acc + z
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _clamp_maps(d, h, td, th):
+    """Host-side scalar-prefetch maps: per d-tile (start, clamped halo-top,
+    clamped halo-bottom) and the h-axis equivalent."""
+    di = np.arange(d // td, dtype=np.int32) * td
+    dmap = np.stack(
+        [di, np.maximum(di - 1, 0), np.minimum(di + td, d - 1)], axis=1
+    )
+    hj = np.arange(h // th, dtype=np.int32) * th
+    hmap = np.stack(
+        [hj, np.maximum(hj - 1, 0), np.minimum(hj + th, h - 1)], axis=1
+    )
+    return jnp.asarray(dmap), jnp.asarray(hmap)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret")
+)
+def conv_block_sparse_halo(
+    x_block: jax.Array,  # (B, d, h, w, 8*Ci) block layout, UN-halo'd
+    w0: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """'Same'-padded (full-res reflect) sparse block conv with the halo
+    assembled in-kernel — no HBM-side pad copy. Returns (B, d, h, w, 8*Co).
+    """
+    B, d, h, w, c8 = x_block.shape
+    ci = c8 // 8
+    co8 = w1.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    td, th = _pick_tile(
+        d, h, Wp, ci, co8 // 8, itemsize=x_block.dtype.itemsize
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(_kernel_halo, td=td, th=th, W=w, ci=ci,
+                               act=act, interpret=interpret)
+    flops = 2 * B * d * h * w * 64 * ci * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, x_block, w0, w1, w2, bias8)
+
+
 def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
     """DHWIO (3,3,3,Ci,Co) -> sparse block GEMM weights, split into the
     three w-offset groups the kernel GEMMs separately:
@@ -318,7 +494,9 @@ def conv_block_sparse(
     emit_full: bool = False,
 ) -> jax.Array:
     """'Same'-padded sparse block conv: 1-block halo (edge == full-res
-    reflect; zeros == full-res zeros), then the valid kernel."""
+    reflect; zeros == full-res zeros), then the valid kernel. For reflect
+    the halo is assembled in-kernel (no HBM pad copy) unless disabled via
+    ANATOMIX_HALO=0; zeros and emit_full keep the padded path."""
     if pad_type == "reflect":
         mode = "edge"
     elif pad_type == "zeros":
@@ -326,6 +504,18 @@ def conv_block_sparse(
     else:
         raise ValueError(
             f"pad_type {pad_type!r} has no block-space halo equivalent"
+        )
+    import os
+
+    if (
+        mode == "edge"
+        and not emit_full
+        and os.environ.get("ANATOMIX_HALO", "1") != "0"
+    ):
+        return conv_block_sparse_halo(
+            x_block, packed["w0"], packed["w1"], packed["w2"],
+            packed["b8"], act=packed["act"], out_dtype=x_block.dtype,
+            interpret=interpret,
         )
     # single pad: 1-voxel halo on d/h/w plus the sublane-alignment tail
     # on w (tail columns are DMA'd but never enter the GEMM)
@@ -423,6 +613,153 @@ def _kernel_skip(enc_hbm, sm_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref,
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
     out_ref[0] = acc.astype(out_ref.dtype)
+
+
+def _kernel_skip_halo(dmap_ref, hmap_ref, enc_hbm, sm_hbm, w0_ref, w1_ref,
+                      w2_ref, b_ref, out_ref, enc_vmem, sm_vmem, sems, *,
+                      td, th, W, c1, c2, act, interpret):
+    """Hybrid skip kernel: the (4x bigger) encoder tensor's halo is
+    assembled in-kernel from the un-padded HBM tensor (9 clamped DMAs);
+    the small pre-upsample tensor arrives HBM-halo'd as before (it may
+    need a channel pad for the DMA minor-dim rule anyway)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    dma_s = pltpu.make_async_copy(
+        sm_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        sm_vmem, sems.at[9],
+    )
+    dma_s.start()
+    dmas = _halo_copies(enc_hbm, enc_vmem, sems, b, dmap_ref, hmap_ref,
+                        i, j, td=td, th=th, w=W, off=off)
+    for dma in dmas:
+        dma.wait()
+    enc_vmem[:, :, off - 1] = enc_vmem[:, :, off]
+    enc_vmem[:, :, off + W] = enc_vmem[:, :, off + W - 1]
+    dma_s.wait()
+
+    base = off - 1
+
+    def enc_chunk(vd, vws):
+        views = []
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * c1
+                views.append(
+                    enc_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        base + _OFF[vw]: base + _OFF[vw] + W,
+                        g: g + c1,
+                    ]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    def sm_group(gw):
+        views = [
+            sm_vmem[od: od + td, oh: oh + th, gw: gw + W, :c2]
+            for od in (0, 1, 2)
+            for oh in (0, 1, 2)
+        ]
+        return jnp.concatenate(views, axis=-1)
+
+    dn = (((3,), (0,)), ((), ()))
+    acc = None
+    for gw, (w_ref, vws) in enumerate(
+        ((w0_ref, (-1,)), (w1_ref, (0, 1)), (w2_ref, (2,)))
+    ):
+        rows = 4 * len(vws) * c1
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            z = jax.lax.dot_general(
+                enc_chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(w_ref.dtype),
+            )
+            acc = z if acc is None else acc + z
+        acc += jax.lax.dot_general(
+            sm_group(gw), w_ref[4 * rows:], dn,
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(w_ref.dtype),
+        )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret", "out_w")
+)
+def conv_block_skip_halo(
+    enc_block: jax.Array,  # (B, d, h, w, 8*c1) block layout, UN-halo'd
+    sm_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), c2p) halo'd
+    w0: jax.Array, w1: jax.Array, w2: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    out_w: int | None = None,
+) -> jax.Array:
+    B, d, h, w, c8 = enc_block.shape
+    c1 = c8 // 8
+    c2p = sm_padded.shape[-1]
+    c2 = (w1.shape[0] - 32 * c1) // 9
+    co8 = w1.shape[-1]
+    if sm_padded.shape[3] % 8:
+        sm_padded = jnp.pad(
+            sm_padded,
+            ((0, 0),) * 3 + ((0, (-sm_padded.shape[3]) % 8), (0, 0)),
+        )
+    off = 8
+    Wp_enc = off + w + 1
+    Wp_sm = sm_padded.shape[3]
+
+    td, th = _pick_tile_skip(
+        d, h, max(Wp_enc, Wp_sm), c1, c2, co8 // 8, c2p=c2p,
+        itemsize=enc_block.dtype.itemsize,
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(
+        _kernel_skip_halo, td=td, th=th, W=w, c1=c1, c2=c2, act=act,
+        interpret=interpret,
+    )
+    flops = 2 * B * d * h * w * (64 * c1 + 27 * c2) * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp_enc, c8), enc_block.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp_sm, c2p), sm_padded.dtype),
+            pltpu.SemaphoreType.DMA((10,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=enc_block.nbytes + sm_padded.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, enc_block, sm_padded, w0, w1, w2, bias8)
 
 
 def pack_sparse_skip_weights(w: np.ndarray, c1: int, c2_pad: int = 0):
@@ -605,7 +942,6 @@ def conv_block_sparse_skip(
         )
     align = (-(enc_block.shape[3] + 2)) % 8
     pads = ((0, 0), (1, 1), (1, 1), (1, 1 + align), (0, 0))
-    encp = jnp.pad(enc_block, pads, mode=mode)
     if packed.get("c2_pad"):
         # manual Mosaic DMA needs minor dim % 128 == 0; zero-padded
         # channels multiply zero weight rows
@@ -618,6 +954,16 @@ def conv_block_sparse_skip(
     # both through the parity-summed weights only when the halo voxel's
     # two parities agree — for nearest x2 they do: both read the edge.
     smp = jnp.pad(small, pads, mode=mode)
+    import os
+
+    if mode == "edge" and os.environ.get("ANATOMIX_HALO", "1") != "0":
+        # encoder halo assembled in-kernel (the enc tensor is the big one)
+        return conv_block_skip_halo(
+            enc_block, smp, packed["w0"], packed["w1"], packed["w2"],
+            packed["b8"], act=packed["act"], out_dtype=enc_block.dtype,
+            interpret=interpret, out_w=enc_block.shape[3],
+        )
+    encp = jnp.pad(enc_block, pads, mode=mode)
     return conv_block_skip_valid(
         encp, smp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
         act=packed["act"], out_dtype=enc_block.dtype,

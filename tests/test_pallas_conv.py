@@ -130,3 +130,69 @@ def test_unet_with_pallas_convs_interpret(rng):
     finally:
         c3.conv3x3_packed = orig
     np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-2)
+
+
+@pytest.mark.parametrize(
+    "shape,cin,cout",
+    [
+        ((1, 8, 8, 8), 16, 16),     # single tile per axis (clamps both ways)
+        ((2, 16, 8, 12), 16, 32),   # multi-tile d, odd w
+    ],
+)
+def test_sparse_halo_kernel_matches_padded(rng, monkeypatch, shape, cin, cout):
+    """In-kernel halo (9 clamped DMAs + edge-column fills) is bit-exact vs
+    the HBM-padded sparse kernel for reflect padding."""
+    from anatomix_tpu.ops.pallas.conv_block import (
+        conv_block_sparse, prepack_sparse,
+    )
+
+    B, d, h, w = shape
+    x = jnp.asarray(
+        rng.standard_normal((B, d, h, w, 8 * cin)).astype(np.float32)
+    )
+    wgt = rng.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.1
+    b = rng.standard_normal(cout).astype(np.float32)
+    packed = prepack_sparse(wgt, b, act="lrelu", compute_dtype=jnp.float32)
+    monkeypatch.setenv("ANATOMIX_HALO", "0")
+    y_ref = np.asarray(
+        conv_block_sparse(x, packed, pad_type="reflect", interpret=True)
+    )
+    monkeypatch.setenv("ANATOMIX_HALO", "1")
+    y = np.asarray(
+        conv_block_sparse(x, packed, pad_type="reflect", interpret=True)
+    )
+    np.testing.assert_array_equal(y, y_ref)
+
+
+def test_skip_halo_kernel_matches_padded(rng, monkeypatch):
+    """Hybrid skip kernel (in-kernel encoder halo, HBM-padded small) is
+    bit-exact vs the fully-padded skip kernel."""
+    from anatomix_tpu.ops.pallas.conv_block import (
+        conv_block_sparse_skip, prepack_sparse_skip,
+    )
+
+    B, d, h, w, c1, c2, co = 1, 8, 16, 12, 16, 32, 16
+    enc = jnp.asarray(
+        rng.standard_normal((B, d, h, w, 8 * c1)).astype(np.float32)
+    )
+    small = jnp.asarray(
+        rng.standard_normal((B, d, h, w, c2)).astype(np.float32)
+    )
+    wgt = rng.standard_normal((3, 3, 3, c1 + c2, co)).astype(np.float32) * 0.1
+    b = rng.standard_normal(co).astype(np.float32)
+    packed = prepack_sparse_skip(
+        wgt, b, c1=c1, act="lrelu", compute_dtype=jnp.float32
+    )
+    monkeypatch.setenv("ANATOMIX_HALO", "0")
+    y_ref = np.asarray(
+        conv_block_sparse_skip(
+            enc, small, packed, pad_type="reflect", interpret=True
+        )
+    )
+    monkeypatch.setenv("ANATOMIX_HALO", "1")
+    y = np.asarray(
+        conv_block_sparse_skip(
+            enc, small, packed, pad_type="reflect", interpret=True
+        )
+    )
+    np.testing.assert_array_equal(y, y_ref)
