@@ -7,9 +7,10 @@ Reference: `/root/reference/pretraining/models/pretraining_networks.py:
   (`UnetPlan.tap_channels`), killing the reference's data-dependent lazy
   init (`pretraining_networks.py:409-410`) and its
   `data_dependent_initialize` dance (`supcl_model.py:539-600`).
-* Coordinate sampling is a `jax.random` permutation (matching the
-  reference's `randperm` of foreground coords), P_t = min(num_patches,
-  voxels) per tap, shared across the two views.
+* Coordinate sampling is Gumbel top-k — distribution-identical to the
+  reference's `randperm` of (foreground) coords (uniform without
+  replacement) but without materializing an n-element permutation —
+  P_t = min(num_patches, voxels) per tap, shared across the two views.
 * The per-tap MLP is Linear(no bias) → BatchNorm1d → ReLU (×1 or ×2) →
   Linear(no bias) → BatchNorm1d(affine=False), `n_mlps ∈ {2, 3}`; batch
   norm runs over the flattened (views · patches) axis in train mode.
@@ -145,7 +146,14 @@ def sample_patch_coords(
     n = d * h * w
     p = min(num_patches, n)
     if mask is None:
-        flat = jax.random.choice(key, n, (p,), replace=False)
+        # Gumbel top-k == uniform without replacement (equal scores), and
+        # the by-score ordering of the selected set is itself a uniform
+        # permutation — exactly `choice(replace=False)`'s distribution.
+        # `choice` materializes a full n-element permutation: two sorts
+        # worth 47 ms of the traced 394 ms train step at the 128-crop
+        # config (PERF.md round 3); top_k of 512 over 2M is 2x cheaper
+        # (tools/_exp_sample.py: 6.3 -> 3.0 ms isolated).
+        _, flat = jax.lax.top_k(jax.random.gumbel(key, (n,), jnp.float32), p)
     else:
         g = jax.random.gumbel(key, (n,), jnp.float32)
         # the penalty must be small enough that float32 keeps the Gumbel
