@@ -280,13 +280,28 @@ def conv_block_sparse_train(
 
 
 def _fwd(x_block, w, b, act, pad_type, compute_dtype, interpret):
+    import os
+
     w0, w1, w2 = pack_sparse_weights_jnp(w.astype(compute_dtype))
     b8 = jnp.tile(b.astype(jnp.float32), 8)[None]
-    xp = _halo_pad(x_block, pad_type)
-    y = conv_block_sparse_valid(
-        xp, w0, w1, w2, b8, act=act, out_dtype=x_block.dtype,
-        interpret=interpret, out_w=x_block.shape[3],
-    )
+    if (
+        pad_type == "reflect"
+        and os.environ.get("ANATOMIX_HALO", "1") != "0"
+    ):
+        from anatomix_tpu.ops.pallas.conv_block import (
+            conv_block_sparse_halo,
+        )
+
+        y = conv_block_sparse_halo(
+            x_block, w0, w1, w2, b8, act=act, out_dtype=x_block.dtype,
+            interpret=interpret,
+        )
+    else:
+        xp = _halo_pad(x_block, pad_type)
+        y = conv_block_sparse_valid(
+            xp, w0, w1, w2, b8, act=act, out_dtype=x_block.dtype,
+            interpret=interpret, out_w=x_block.shape[3],
+        )
     return y, (x_block, w, b, y)
 
 
@@ -310,14 +325,24 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
     wflip = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
     f0, f1, f2 = pack_sparse_weights_jnp(wflip.astype(compute_dtype))
     zb8 = jnp.zeros((1, 8 * ci), jnp.float32)
+    # The dx output extent d+2 (e.g. 66 at the 128-crop config) has no
+    # 4/8/16 divisor, so _pick_tile degraded to 2x2 tiles — a 1089-step
+    # grid of starved GEMMs (10.4 ms/conv in the round-3 train trace).
+    # Zero-pad the extent to a multiple of 8 (zero rows conv to zeros,
+    # sliced off below); store bf16 — dx is downcast right after anyway.
+    ext_d = -(-(d + 2) // 8) * 8
+    ext_h = -(-(h + 2) // 8) * 8
     align2 = (-(wd + 4)) % 8
     dpre_p = jnp.pad(
-        dpre, ((0, 0), (2, 2), (2, 2), (2, 2 + align2), (0, 0))
+        dpre,
+        ((0, 0), (2, 2 + ext_d - (d + 2)), (2, 2 + ext_h - (h + 2)),
+         (2, 2 + align2), (0, 0)),
     )
     dx_ext = conv_block_sparse_valid(
-        dpre_p, f0, f1, f2, zb8, act="none", out_dtype=jnp.float32,
+        dpre_p, f0, f1, f2, zb8, act="none", out_dtype=x_block.dtype,
         interpret=interpret, out_w=wd + 2,
-    )  # (B, d+2, h+2, w+2, 8Ci): gradient wrt the halo-padded forward input
+    )[:, : d + 2, : h + 2]
+    # (B, d+2, h+2, w+2, 8Ci): gradient wrt the halo-padded forward input
     _, pad_vjp = jax.vjp(lambda v: _halo_pad(v, pad_type), x_block)
     # _halo_pad also adds the w alignment tail; extend dx_ext to match
     tail = _halo_pad(x_block, pad_type).shape[3] - dx_ext.shape[3]
