@@ -36,7 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from anatomix_tpu.ops.pallas.conv_block import (
+    _clamp_maps,
     _dot_precision,
+    _halo_copies,
     _OFF,
     _PAR,
     _VMEM_LIMIT,
@@ -158,6 +160,140 @@ def _kernel_wgrad(x_hbm, dy_ref, w0_ref, w1_ref, w2_ref, x_vmem, sem, *,
                 precision=_dot_precision(dy2.dtype),
             )
             w_ref[n * rows: (n + 1) * rows] += part
+
+
+def _kernel_wgrad_halo(dmap_ref, hmap_ref, x_hbm, dy_ref, w0_ref, w1_ref,
+                       w2_ref, x_vmem, sems, *, td, th, W, ci, interpret):
+    """wgrad with the x halo assembled in-kernel (reflect only) — same
+    9-clamped-DMA scheme as `conv_block._kernel_halo`."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    for dma in _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref,
+                            i, j, td=td, th=th, w=W, off=off):
+        dma.wait()
+    x_vmem[:, :, off - 1] = x_vmem[:, :, off]
+    x_vmem[:, :, off + W] = x_vmem[:, :, off + W - 1]
+
+    first = (b == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        w0_ref[...] = jnp.zeros_like(w0_ref)
+        w1_ref[...] = jnp.zeros_like(w1_ref)
+        w2_ref[...] = jnp.zeros_like(w2_ref)
+
+    dy = dy_ref[0]
+    base = off - 1
+
+    def chunk(vd, vws):
+        views = []
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                g = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    x_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        base + _OFF[vw]: base + _OFF[vw] + W,
+                        g: g + ci,
+                    ]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    M = td * th * W
+    dy2 = dy.reshape(M, dy.shape[-1])
+    dn = (((0,), (0,)), ((), ()))
+    for w_ref, vws in ((w0_ref, (-1,)), (w1_ref, (0, 1)), (w2_ref, (2,))):
+        rows = 4 * len(vws) * ci
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            part = jax.lax.dot_general(
+                chunk(vd, vws).reshape(M, rows), dy2, dn,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(dy2.dtype),
+            )
+            w_ref[n * rows: (n + 1) * rows] += part
+
+
+@functools.partial(jax.jit, static_argnames=("ci", "interpret"))
+def _wgrad_halo(x_block, dy_block, *, ci, interpret=False):
+    """dW_packed groups with the x halo assembled in-kernel; x_block is
+    the UN-padded (B, d, h, w, 8Ci) forward input (reflect semantics)."""
+    B, d, h, w, _ = x_block.shape
+    co8 = dy_block.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    acc_bytes = 64 * ci * co8 * 4
+
+    def fits(td, th):
+        return (
+            5 * td * th * Wp * (8 * ci * 2 * 3 + co8 * 2) + acc_bytes
+            <= 40 * 2 ** 20
+        )
+
+    td, th = 1, 1
+    for cand_td in (8, 4, 2, 1):
+        if d % cand_td:
+            continue
+        for cand_th in (8, 4, 2, 1):
+            if h % cand_th:
+                continue
+            if fits(cand_td, cand_th) and cand_td * cand_th > td * th:
+                td, th = cand_td, cand_th
+
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(
+        _kernel_wgrad_halo, td=td, th=th, W=w, ci=ci, interpret=interpret
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (16 * ci, co8), lambda b, i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (32 * ci, co8), lambda b, i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (16 * ci, co8), lambda b, i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * ci), x_block.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((16 * ci, co8), jnp.float32),
+            jax.ShapeDtypeStruct((32 * ci, co8), jnp.float32),
+            jax.ShapeDtypeStruct((16 * ci, co8), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * d * h * w * 64 * ci * co8,
+            bytes_accessed=x_block.nbytes + dy_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20
+        ),
+        interpret=interpret,
+    )(dmap, hmap, x_block, dy_block)
 
 
 @functools.partial(
@@ -352,10 +488,20 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
 
     # dw: packed-space gradients contracted by the wgrad kernel, pulled
     # back through the (linear) jnp packer
-    xp = _halo_pad(x_block, pad_type)
-    dW0, dW1, dW2 = _wgrad(
-        xp, dpre, ci=ci, interpret=interpret, out_w=wd
-    )
+    import os
+
+    if (
+        pad_type == "reflect"
+        and os.environ.get("ANATOMIX_HALO", "1") != "0"
+    ):
+        dW0, dW1, dW2 = _wgrad_halo(
+            x_block, dpre, ci=ci, interpret=interpret
+        )
+    else:
+        xp = _halo_pad(x_block, pad_type)
+        dW0, dW1, dW2 = _wgrad(
+            xp, dpre, ci=ci, interpret=interpret, out_w=wd
+        )
     _, pack_vjp = jax.vjp(
         lambda v: pack_sparse_weights_jnp(v.astype(compute_dtype)), w
     )
