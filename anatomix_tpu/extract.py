@@ -209,8 +209,18 @@ def make_feature_extractor(
     from anatomix_tpu.models.vit3d import PrimusConfig, primus_apply
 
     if isinstance(plan, PrimusConfig):
+        from anatomix_tpu.models.vit3d.primus import (
+            prepack_primus_tokenizer,
+        )
+
         vit_cfg = plan
         params = jax.tree_util.tree_map(jnp.asarray, params)
+        if jax.default_backend() not in ("cpu",):
+            # one-time sparse packing of the fused tokenizer weights
+            # (otherwise the pack gathers re-run on every window chunk)
+            params = prepack_primus_tokenizer(
+                vit_cfg, params, compute_dtype=compute_dtype
+            )
 
         # params travel as jit ARGUMENTS: closure constants are shipped in
         # the remote-compile payload and large models exceed its size limit

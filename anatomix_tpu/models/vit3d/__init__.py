@@ -12,6 +12,7 @@ from anatomix_tpu.models.vit3d.primus import (
     build_out_norm,
     init_primus_params,
     load_primus_v2,
+    prepack_primus_tokenizer,
     primus_apply,
     primus_param_count,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "build_out_norm",
     "init_primus_params",
     "load_primus_v2",
+    "prepack_primus_tokenizer",
     "primus_apply",
     "primus_param_count",
 ]

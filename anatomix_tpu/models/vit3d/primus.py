@@ -461,6 +461,57 @@ def _tokenizer_v2(cfg, tok, x, compute_dtype=None):
     return y  # (B, d, h, w, embed)
 
 
+def _stage_sparse_ok(stage):
+    """The sparse GEMM weight format is 64x the dense taps: deep wide
+    stages (256ch) blow scoped VMEM — those stay XLA (cheap anyway:
+    small spatial dims)."""
+    ci = stage["down"]["w"].shape[-1]
+    return ci % 16 == 0 and 64 * ci * 8 * ci * 2 <= 18 * 2 ** 20
+
+
+def prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16):
+    """One-time packing of the fused tokenizer's residual-stage conv
+    weights into the sparse block-GEMM layout. Without this the pack
+    gathers re-run in-graph on every forward (and on every sliding-window
+    chunk step). Returns a params pytree with extra ('w0','w1','w2','b8')
+    leaves on the sparse-eligible stage convs; `_tokenizer_v2_fused` uses
+    them when present and their dtype matches."""
+    from anatomix_tpu.ops.pallas.conv_block_train import (
+        pack_sparse_weights_jnp,
+    )
+
+    tok = params.get("tokenizer")
+    if not isinstance(tok, dict) or "stages" not in tok:
+        return params
+
+    @jax.jit
+    def _pack(w):
+        return pack_sparse_weights_jnp(jnp.asarray(w).astype(compute_dtype))
+
+    stages = []
+    for stage in tok["stages"]:
+        if not stage["blocks"] or not _stage_sparse_ok(stage):
+            stages.append(stage)
+            continue
+        blocks = []
+        for blk in stage["blocks"]:
+            nb = dict(blk)
+            for key in ("conv1", "conv2"):
+                p = dict(nb[key])
+                w0, w1, w2 = _pack(p["w"])
+                co = p["w"].shape[-1]
+                b = p.get("b")
+                b = np.zeros((co,), np.float32) if b is None else b
+                p["w0"], p["w1"], p["w2"] = w0, w1, w2
+                p["b8"] = jnp.tile(
+                    jnp.asarray(b).astype(jnp.float32), 8
+                )[None]
+                nb[key] = p
+            blocks.append(nb)
+        stages.append({**stage, "blocks": blocks})
+    return {**params, "tokenizer": {**tok, "stages": stages}}
+
+
 def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     """Block-space tokenizer: residual-stage convs run as sparse Pallas
     block GEMMs with instance norms (+ residual + LeakyReLU) fused into
@@ -495,6 +546,13 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
         )
 
     def pack(p):
+        if "w0" in p and p["w0"].dtype == cd:
+            # prepacked once by `prepack_primus_tokenizer`
+            return {
+                "w0": p["w0"], "w1": p["w1"], "w2": p["w2"],
+                "b8": p["b8"], "act": "none",
+                "ci": p["w"].shape[3], "co": p["w"].shape[4],
+            }
         w = p["w"].astype(cd)
         co = w.shape[-1]
         w0, w1, w2 = pack_sparse_weights_jnp(w)
@@ -509,19 +567,12 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     def norm_act(v):
         return lrelu(instance_norm(v, eps=cfg.in_eps))
 
-    def stage_sparse_ok(stage):
-        # the sparse GEMM weight format is 64x the dense taps: deep wide
-        # stages (256ch) blow scoped VMEM — those stay XLA (cheap anyway:
-        # small spatial dims)
-        ci = stage["down"]["w"].shape[-1]
-        return ci % 16 == 0 and 64 * ci * 8 * ci * 2 <= 18 * 2 ** 20
-
     y = norm_act(conv(tok["stem"], x))
     for stage in tok["stages"]:
         y = norm_act(conv(stage["down"], y, stride=2))
         if not stage["blocks"]:
             continue
-        if not stage_sparse_ok(stage):
+        if not _stage_sparse_ok(stage):
             for blk in stage["blocks"]:
                 r = y
                 y = norm_act(conv(blk["conv1"], y))

@@ -354,3 +354,41 @@ def test_tokenizer_fused_matches_xla(rng):
         / (np.abs(np.asarray(y_x)).max() + 1e-8)
     )
     assert rel2 < 1e-3, rel2
+
+
+def test_tokenizer_prepack_matches_in_graph(rng):
+    """`prepack_primus_tokenizer` output drives the fused tokenizer to the
+    exact same result as in-graph packing (the prepack only precomputes
+    the same gathers once)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anatomix_tpu.models.vit3d.primus import (
+        PrimusConfig,
+        _tokenizer_v2_fused,
+        init_primus_params,
+        prepack_primus_tokenizer,
+    )
+
+    cfg = PrimusConfig(
+        embed_dim=64, eva_depth=1, eva_numheads=2,
+        patch_embed_size=(8, 8, 8), input_shape=(32, 32, 32),
+        num_register_tokens=2, tokenizer_base_features=16, in_eps=1e-2,
+        num_classes=8,
+    )
+    params = init_primus_params(cfg, jax.random.PRNGKey(0))
+    pp = prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.float32)
+    # at least one stage conv actually got packed
+    assert any(
+        "w0" in blk["conv1"]
+        for st in pp["tokenizer"]["stages"]
+        for blk in st["blocks"]
+    )
+    x = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    a = _tokenizer_v2_fused(cfg, params["tokenizer"], x,
+                            compute_dtype=jnp.float32)
+    b = _tokenizer_v2_fused(cfg, pp["tokenizer"], x,
+                            compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

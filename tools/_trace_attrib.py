@@ -25,7 +25,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 def build(which):
     if which == "vit":
         from anatomix_tpu.models.vit3d import (
-            PrimusConfig, init_primus_params, primus_apply,
+            PrimusConfig, init_primus_params, prepack_primus_tokenizer, primus_apply,
         )
         from anatomix_tpu.extract import partition_params
 
@@ -35,7 +35,7 @@ def build(which):
             num_register_tokens=8, qk_norm=True, num_classes=32,
             out_norm="demean", out_norm_eps=1e-2,
         )
-        params = init_primus_params(cfg, jax.random.PRNGKey(0))
+        params = prepack_primus_tokenizer(cfg, init_primus_params(cfg, jax.random.PRNGKey(0)))
         arrs, combine = partition_params(
             jax.tree_util.tree_map(jnp.asarray, params)
         )
