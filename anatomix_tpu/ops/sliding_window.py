@@ -27,12 +27,39 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
+
+
+def gaussian_importance_axes(roi_size, sigma_scale: float = 0.25):
+    """Separable factors of the MONAI Gaussian importance map: per-axis
+    windows normalized so their outer product equals m / m.max(), plus the
+    clamp floor max(min_nonzero, 1e-3). The map itself is
+    clip(outer(g0, g1, g2), minv, None)."""
+    axes = []
+    for size in roi_size:
+        sigma = sigma_scale * size
+        center = size // 2
+        i = np.arange(size, dtype=np.float64)
+        denom = sigma * math.sqrt(2.0)
+        from scipy.special import erf  # scipy is available via jax deps
+
+        w = 0.5 * (
+            erf((i - center + 0.5) / denom) - erf((i - center - 0.5) / denom)
+        )
+        axes.append(w / w.max())
+    m = (
+        axes[0][:, None, None]
+        * axes[1][None, :, None]
+        * axes[2][None, None, :]
+    )
+    minv = max(float(m[m > 0].min()), 1e-3)
+    return axes, minv
 
 
 def gaussian_importance_map(
@@ -45,22 +72,13 @@ def gaussian_importance_map(
     `sigma = sigma_scale * roi`, normalizing to max 1, then clamping to
     `max(min_nonzero, 1e-3)`.
     """
-    axes = []
-    for size in roi_size:
-        sigma = sigma_scale * size
-        center = size // 2
-        i = np.arange(size, dtype=np.float64)
-        denom = sigma * math.sqrt(2.0)
-        from scipy.special import erf  # scipy is available via jax deps
-
-        w = 0.5 * (
-            erf((i - center + 0.5) / denom) - erf((i - center - 0.5) / denom)
-        )
-        axes.append(w)
-    m = axes[0][:, None, None] * axes[1][None, :, None] * axes[2][None, None, :]
-    m = m / m.max()
-    min_nonzero = max(float(m[m > 0].min()), 1e-3)
-    return np.clip(m, min_nonzero, None).astype(np.float32)
+    axes, minv = gaussian_importance_axes(roi_size, sigma_scale)
+    m = (
+        axes[0][:, None, None]
+        * axes[1][None, :, None]
+        * axes[2][None, None, :]
+    )
+    return np.clip(m, minv, None).astype(np.float32)
 
 
 def constant_importance_map(roi_size) -> np.ndarray:
@@ -126,6 +144,8 @@ def _scan_windows(
     sw_batch_size: int,
     acc_dtype,
     vary_axis: str | None = None,
+    imp_factors=None,  # (per-axis f64 factors, clamp floor) — kernel path
+    interpret: bool = False,
 ):
     D, H, W, C = volume3d.shape
     r0, r1, r2 = roi_size
@@ -154,6 +174,55 @@ def _scan_windows(
         return jax.lax.dynamic_slice(
             volume3d, (s[0], s[1], s[2], 0), (r0, r1, r2, C)
         )
+
+    # Pallas scatter kernel: in-place slab RMW at the HBM traffic floor
+    # (the XLA dynamic-update-slice chain below costs ~4 ms/window,
+    # canvas-size-independent — tools/_exp_scatter2.py). Needs the full
+    # 128-lane fold, separable blend factors, f32 accumulator, and a TPU.
+    use_kernel = (
+        imp_factors is not None
+        and fold > 1
+        and lanes == 128
+        and r2 % fold == 0
+        and acc_dtype == jnp.float32
+        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "1") != "0"
+        and (jax.default_backend() not in ("cpu",) or interpret)
+    )
+    if use_kernel:
+        from anatomix_tpu.ops.pallas.scatter import (
+            blend_scatter_chunk, fold_tables,
+        )
+
+        g_axes, minv = imp_factors
+        gdh_np, gwf_np, valid_np = fold_tables(
+            g_axes, minv, fold, out_channels
+        )
+        gdh = jnp.asarray(gdh_np)
+        gwf = jnp.asarray(gwf_np)
+        validt = jnp.asarray(valid_np)
+
+        def chunk_body_kernel(acc, chunk):
+            chunk_starts, chunk_mask = chunk
+            windows = jax.vmap(slice_window)(chunk_starts)
+            out = apply_fn(windows)  # (B, r0, r1, r2, out_channels)
+            prod = out.reshape(out.shape[0], r0, r1, r2 * out_channels)
+            acc = blend_scatter_chunk(
+                acc, prod, chunk_starts, chunk_mask.astype(jnp.int32),
+                gdh, gwf, validt, fold=fold, C=out_channels,
+                minv=float(minv), interpret=interpret,
+            )
+            return acc, None
+
+        acc, _ = jax.lax.scan(
+            chunk_body_kernel,
+            acc0,
+            (
+                starts.reshape(n_chunks, sw_batch_size, 3),
+                mask.reshape(n_chunks, sw_batch_size),
+            ),
+        )
+        acc = acc.reshape(D, H, W + fold, out_channels)[:, :, :W]
+        return acc
 
     def chunk_body(acc, chunk):
         chunk_starts, chunk_mask = chunk
@@ -226,6 +295,7 @@ def sliding_window_inference(
     mesh: Mesh | None = None,
     mesh_axis: str = "data",
     acc_dtype=jnp.float32,
+    interpret: bool = False,
 ) -> jax.Array:
     """Whole-volume inference by Gaussian-blended sliding windows.
 
@@ -246,8 +316,12 @@ def sliding_window_inference(
     starts_np = compute_window_starts(spatial, roi_size, overlap)
     if mode == "gaussian":
         imp_np = gaussian_importance_map(roi_size, sigma_scale)
+        imp_factors = gaussian_importance_axes(roi_size, sigma_scale)
     elif mode == "constant":
         imp_np = constant_importance_map(roi_size)
+        imp_factors = (
+            [np.ones(r, np.float64) for r in roi_size], 0.0
+        )
     else:
         raise ValueError(f"Unsupported blend mode: {mode}")
 
@@ -283,6 +357,8 @@ def sliding_window_inference(
         out_channels=out_channels,
         sw_batch_size=sw_batch_size,
         acc_dtype=acc_dtype,
+        imp_factors=imp_factors,
+        interpret=interpret,
     )
 
     if mesh is None:

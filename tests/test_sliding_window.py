@@ -170,3 +170,31 @@ def test_multidevice_sharded_matches_single():
         )
     )
     np.testing.assert_allclose(sharded, single, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["gaussian", "constant"])
+def test_pallas_scatter_kernel_matches_xla(monkeypatch, mode):
+    """The Pallas blend-scatter kernel path == the XLA lane-folded scan
+    (interpret mode; includes padding-window masking and the in-kernel
+    separable clamp reproduction of the importance map)."""
+    from anatomix_tpu.ops.sliding_window import sliding_window_inference
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(
+        rng.standard_normal((1, 64, 64, 64, 16)).astype(np.float32)
+    )
+
+    def apply_fn(w):
+        return w * 2.0 + 1.0
+
+    kw = dict(
+        out_channels=16, roi_size=(32, 32, 32), sw_batch_size=4,
+        overlap=0.5, mode=mode,
+    )
+    monkeypatch.setenv("ANATOMIX_SCATTER_KERNEL", "0")
+    ref = np.asarray(sliding_window_inference(vol, apply_fn, **kw))
+    monkeypatch.setenv("ANATOMIX_SCATTER_KERNEL", "1")
+    got = np.asarray(
+        sliding_window_inference(vol, apply_fn, interpret=True, **kw)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
