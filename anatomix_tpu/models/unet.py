@@ -383,6 +383,27 @@ def unet_apply(
                     compute_dtype=cd,
                     interpret=jax.default_backend() == "cpu",
                 )
+            elif (
+                conv_impl == "pallas_train"
+                and spec.in_ch < 16
+                and all(s % 2 == 0 for s in feat.shape[1:4])
+            ):
+                # tiny-Ci convs (the entry conv): the XLA full-res lowering
+                # is a pathological lane-1 loop fusion (23 ms of the traced
+                # pretrain step); run the dense block-space conv instead
+                from anatomix_tpu.ops.pallas.conv_block_train import (
+                    conv3x3_block_train,
+                )
+
+                cd = compute_dtype or jnp.bfloat16
+                feat = conv3x3_block_train(
+                    feat,
+                    p["w"],
+                    p.get("b"),
+                    pad_type=cfg.pad_type,
+                    compute_dtype=cd,
+                    interpret=jax.default_backend() == "cpu",
+                )
             elif use_pallas:
                 from anatomix_tpu.ops.pallas.conv3x3 import (
                     conv3x3_packed,

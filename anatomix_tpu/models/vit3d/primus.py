@@ -567,12 +567,36 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     def norm_act(v):
         return lrelu(instance_norm(v, eps=cfg.in_eps))
 
-    y = norm_act(conv(tok["stem"], x))
+    from anatomix_tpu.ops.pallas.conv_block_train import (
+        dense_block_conv_train,
+    )
+
+    # stem: the XLA full-res Ci=1 conv is a pathological lane-1 loop
+    # fusion that also swallows the following IN's statistics (16.8 ms of
+    # the 49 ms round-3 trace) — run it as a dense block-space conv (MXU
+    # rate) with the IN+LeakyReLU riding a block-layout elementwise pass
+    xb = space_to_depth(x.astype(cd), interpret=interpret)
+    yb = dense_block_conv_train(
+        xb, tok["stem"]["w"].astype(cd),
+        tok["stem"].get("b"), act="none", pad_type="zeros",
+        compute_dtype=cd,
+    )
+    yb = _instance_norm_any(yb, True, eps=cfg.in_eps, act_fn=lrelu)
+    y = depth_to_space(yb, interpret=interpret)
+    if compute_dtype is None:
+        y = y.astype(x.dtype)
     for stage in tok["stages"]:
-        y = norm_act(conv(stage["down"], y, stride=2))
-        if not stage["blocks"]:
-            continue
-        if not _stage_sparse_ok(stage):
+        if stage["blocks"] and _stage_sparse_ok(stage):
+            # stride-2 conv XLA (no fused norm); IN+act in block space
+            y = conv(stage["down"], y, stride=2)
+            yb = space_to_depth(y.astype(cd), interpret=interpret)
+            yb = _instance_norm_any(
+                yb, True, eps=cfg.in_eps, act_fn=lrelu
+            )
+        else:
+            y = norm_act(conv(stage["down"], y, stride=2))
+            if not stage["blocks"]:
+                continue
             for blk in stage["blocks"]:
                 r = y
                 y = norm_act(conv(blk["conv1"], y))
@@ -582,7 +606,6 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
                     negative_slope=0.01,
                 )
             continue
-        yb = space_to_depth(y.astype(cd), interpret=interpret)
         for blk in stage["blocks"]:
             r = yb
             z = conv_block_sparse(

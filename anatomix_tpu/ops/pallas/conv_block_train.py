@@ -552,6 +552,95 @@ def _d2s_bwd(interpret, _, dx):
 depth_to_space_vjp.defvjp(_d2s_fwd, _d2s_bwd)
 
 
+@functools.cache
+def _dense_block_map() -> np.ndarray:
+    """(27 taps, 27 block-offsets, 8 in-parities, 8 out-parities) binary
+    map behind `conv3x3.make_block_weights`, for traced packing."""
+    M = np.zeros((27, 27, 8, 8), np.float32)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                a = (ad * 2 + ah) * 2 + aw
+                for kd in range(3):
+                    for kh in range(3):
+                        for kw in range(3):
+                            k = (kd * 3 + kh) * 3 + kw
+                            vd, vh, vw = ad + kd - 1, ah + kh - 1, aw + kw - 1
+                            bidx = (
+                                (vd // 2 + 1) * 3 + (vh // 2 + 1)
+                            ) * 3 + (vw // 2 + 1)
+                            p = ((vd % 2) * 2 + (vh % 2)) * 2 + (vw % 2)
+                            M[k, bidx, p, a] += 1.0
+    return M
+
+
+def make_block_weights_jnp(w: jax.Array) -> jax.Array:
+    """Traced DHWIO (3,3,3,Ci,Co) -> dense block-space (3,3,3,8Ci,8Co)
+    (same layout as `conv3x3.make_block_weights`); linear, so its VJP is
+    free from JAX."""
+    ci, co = w.shape[3], w.shape[4]
+    M = jnp.asarray(_dense_block_map(), w.dtype)
+    wb = jnp.einsum("kbpa,kio->bpiao", M, w.reshape(27, ci, co))
+    return wb.reshape(3, 3, 3, 8 * ci, 8 * co)
+
+
+def dense_block_conv_train(
+    xb: jax.Array,  # (B, d, h, w, 8*Ci) block layout
+    w: jax.Array,   # DHWIO (3, 3, 3, Ci, Co) traced
+    b: jax.Array | None,
+    *,
+    act: str = "none",
+    pad_type: str = "zeros",
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Differentiable dense block-space 'same' conv: one XLA conv3d on the
+    block grid (8x nominal FLOPs but MXU-rate lanes). For tiny Ci the XLA
+    lowering of the full-res conv is a pathological lane-1 loop fusion
+    fused with the following norm's statistics — 23 ms of the traced
+    pretrain step (entry conv, Ci=1) and 17 ms of the ViT stem. Block
+    halo: edge == full-res reflect, zeros == zeros (only |v| <= 2 taps
+    are populated, and they never reach full-res offset -2)."""
+    from anatomix_tpu.ops.conv import conv3d
+
+    co = w.shape[4]
+    wb = make_block_weights_jnp(w.astype(compute_dtype))
+    mode = "edge" if pad_type == "reflect" else "constant"
+    xp = jnp.pad(
+        xb, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode=mode
+    )
+    b8 = None if b is None else jnp.tile(b, 8)
+    yb = conv3d(
+        xp, wb, b8, padding="VALID", compute_dtype=compute_dtype
+    )
+    if act == "relu":
+        yb = jnp.maximum(yb, 0)
+    elif act == "lrelu":
+        yb = jnp.where(yb >= 0, yb, 0.2 * yb)
+    elif act != "none":
+        raise ValueError(f"unsupported act: {act}")
+    del co
+    return yb
+
+
+def conv3x3_block_train(
+    x: jax.Array,  # (B, D, H, W, Ci) normal layout, even spatial
+    w: jax.Array,
+    b: jax.Array | None,
+    *,
+    act: str = "none",
+    pad_type: str = "zeros",
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """Normal-layout differentiable dense block conv (s2d -> XLA block
+    conv -> d2s) for convs the sparse kernel can't take (Ci < 16)."""
+    xb = space_to_depth_vjp(x.astype(compute_dtype), interpret)
+    yb = dense_block_conv_train(
+        xb, w, b, act=act, pad_type=pad_type, compute_dtype=compute_dtype
+    )
+    return depth_to_space_vjp(yb, interpret)
+
+
 def conv3x3_same_train(
     x: jax.Array,  # (B, D, H, W, Ci) normal layout, even spatial
     w: jax.Array,

@@ -30,9 +30,26 @@ for name, dur in by.most_common(28):
     print(f"{dur/2/1000:8.3f} ms  {name[:100]}")
 
 txt = f.lower(x, arrs).compile().as_text()
-import re
-for target in ("fusion.1142", "fusion.68", "fusion.62", "copy.391", "fusion.92", "copy.277"):
-    for line in txt.splitlines():
-        s = line.strip()
-        if s.startswith(f"%{target} ") or s.startswith(f"{target} "):
-            print(s[:260]); break
+# dump the definitions (and called computations) of the top trace ops
+tops = [n for n, d in by.most_common(40)
+        if ("fusion" in n or "copy" in n or "reshape" in n)
+        and d / 2 > 1500][:6]
+lines = txt.splitlines()
+for target in tops:
+    for i, line in enumerate(lines):
+        st = line.strip()
+        if st.startswith(f"%{target} ") or st.startswith(f"{target} "):
+            print("=" * 20, target)
+            print(st[:400])
+            import re as _re
+            m = _re.search(r"calls=%([\w.\-]+)", st)
+            if m:
+                comp = m.group(1)
+                ci = next((j for j, l in enumerate(lines)
+                           if l.strip().startswith(f"%{comp} ")), None)
+                if ci is not None:
+                    for l in lines[ci:ci + 40]:
+                        print("   ", l.strip()[:240])
+                        if l.strip().startswith("ROOT"):
+                            break
+            break
