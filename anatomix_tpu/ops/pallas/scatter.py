@@ -36,21 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 40 * 2 ** 20
 
 
+ALIGN = 8  # f32 sublane tile: canvas slab column bases must be 8-aligned
+# (a DMA with a dynamic UNALIGNED offset on the second-to-last dim crashes
+# the TPU worker — tools/_exp_scatterprobe.py probe_hbm_sublane_slice); the
+# residual column shift is absorbed into the lane roll, growing the phase
+# space to fold*ALIGN and the slab by ALIGN columns.
+
+
 def fold_tables(imp_axes, minv: float, fold: int, C: int):
     """Per-phase folded w-weight and validity tables (host-side, f64).
 
     imp_axes: the three per-axis window functions from
     `gaussian_importance_map` BEFORE normalization, or ones. Returns
-    (gdh (r0, r1) f32, gw_fold (fold, cols, fold*C) f32 with boundary
-    zeros, valid (fold, cols, fold*C) f32 1/0, minv).
+    (gdh (r0, r1) f32, gw_fold (fold*ALIGN, cols, fold*C) f32 with
+    boundary zeros, valid (same) f32 1/0) where phase
+    k = s2 % (fold*ALIGN) and cols = r2//fold + ALIGN.
     """
     g0, g1, g2 = imp_axes
     r2 = len(g2)
-    cols = r2 // fold + 1
+    phases = fold * ALIGN
+    cols = r2 // fold + ALIGN
     gdh = np.outer(g0, g1).astype(np.float32)
-    gw_fold = np.zeros((fold, cols, fold * C), np.float32)
-    valid = np.zeros((fold, cols, fold * C), np.float32)
-    for k in range(fold):
+    gw_fold = np.zeros((phases, cols, fold * C), np.float32)
+    valid = np.zeros((phases, cols, fold * C), np.float32)
+    for k in range(phases):
         for f in range(cols):
             for j in range(fold):
                 wloc = f * fold + j - k
@@ -68,8 +77,9 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     s0 = starts_ref[b, 0]
     s1 = starts_ref[b, 1]
     s2 = starts_ref[b, 2]
-    off = s2 // fold
-    k = s2 % fold
+    # 8-aligned slab base; the residual shift rides the lane roll
+    off = (s2 // (fold * ALIGN)) * ALIGN
+    k = s2 % (fold * ALIGN)
     lanes = fold * C
 
     read = pltpu.make_async_copy(
@@ -92,9 +102,9 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
         gw = gw_ref[k, f][None, None, :]
         vv = v_ref[k, f][None, None, :] * maskf
         w = jnp.maximum(gdh * gw, minv) * vv
-        # the last folded column's lanes wrap around the roll: with
-        # L = r2*C a multiple of fold*C, the wrapped values are exactly
-        # the window-tail voxels the column needs (validity zeros the rest)
+        # columns past r2*C wrap around the roll: with L = r2*C a
+        # multiple of fold*C, wrapped values land on exactly the
+        # window voxels the column needs (validity zeros the rest)
         g = (f * lanes) % L
         slab[:, :, f, :] += rolled[:, :, g: g + lanes] * w
 

@@ -190,7 +190,7 @@ def _scan_windows(
     )
     if use_kernel:
         from anatomix_tpu.ops.pallas.scatter import (
-            blend_scatter_chunk, fold_tables,
+            ALIGN, blend_scatter_chunk, fold_tables,
         )
 
         g_axes, minv = imp_factors
@@ -200,6 +200,11 @@ def _scan_windows(
         gdh = jnp.asarray(gdh_np)
         gwf = jnp.asarray(gwf_np)
         validt = jnp.asarray(valid_np)
+        # kernel slab bases are ALIGN-col aligned -> wider canvas tail
+        Wfk = W // fold + ALIGN
+        acc0 = jnp.zeros((D, H, Wfk, lanes), acc_dtype)
+        if vary_axis is not None:
+            acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
         def chunk_body_kernel(acc, chunk):
             chunk_starts, chunk_mask = chunk
@@ -221,7 +226,9 @@ def _scan_windows(
                 mask.reshape(n_chunks, sw_batch_size),
             ),
         )
-        acc = acc.reshape(D, H, W + fold, out_channels)[:, :, :W]
+        acc = acc.reshape(
+            D, H, Wfk * fold, out_channels
+        )[:, :, :W]
         return acc
 
     def chunk_body(acc, chunk):
