@@ -209,7 +209,12 @@ def probe_full_kernel_small():
     gdh, gwf, valid = fold_tables(g, 1e-3, fold, C)
     rng = np.random.default_rng(0)
     D = 64
-    canvas = jnp.zeros((D, D, D // fold + 1, 128), jnp.float32)
+    # canvas width must cover the kernel's 8-aligned slab bases:
+    # Wf = D//fold + ALIGN (the first wave-10 run used D//fold + 1 and
+    # crashed the worker with an out-of-bounds DMA — a probe bug, not a
+    # kernel bug; cols = r//fold + ALIGN = 12 > 9 columns)
+    from anatomix_tpu.ops.pallas.scatter import ALIGN
+    canvas = jnp.zeros((D, D, D // fold + ALIGN, 128), jnp.float32)
     prod = jnp.asarray(
         rng.standard_normal((2, r, r, r * C)).astype(np.float32)
     ).astype(jnp.bfloat16)
@@ -219,7 +224,9 @@ def probe_full_kernel_small():
         canvas, prod, starts, mask, jnp.asarray(gdh), jnp.asarray(gwf),
         jnp.asarray(valid), fold=fold, C=C, minv=1e-3,
     )
-    acc = np.asarray(out).reshape(D, D, D + fold, C)[:, :, :D]
+    acc = np.asarray(out).reshape(
+        D, D, (D // fold + ALIGN) * fold, C
+    )[:, :, :D]
     imp = np.maximum(
         np.einsum("i,j,k->ijk", g[0], g[1], g[2]), 1e-3
     ).astype(np.float32)
