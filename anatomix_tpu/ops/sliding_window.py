@@ -179,13 +179,16 @@ def _scan_windows(
     # (the XLA dynamic-update-slice chain below costs ~4 ms/window,
     # canvas-size-independent — tools/_exp_scatter2.py). Needs the full
     # 128-lane fold, separable blend factors, f32 accumulator, and a TPU.
+    # DEFAULT OFF: the kernel still crashes the TPU worker (wave-11,
+    # 2026-08-19) — dynamic sublane-dim HBM DMA offsets are the suspect
+    # even 8-aligned; opt in with ANATOMIX_SCATTER_KERNEL=1 once fixed.
     use_kernel = (
         imp_factors is not None
         and fold > 1
         and lanes == 128
         and r2 % fold == 0
         and acc_dtype == jnp.float32
-        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "1") != "0"
+        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
         and (jax.default_backend() not in ("cpu",) or interpret)
     )
     if use_kernel:

@@ -199,6 +199,115 @@ def probe_hbm_sublane_slice():
           flush=True)
 
 
+def probe_hbm_sublane_aligned():
+    """Like probe_hbm_sublane_slice but with an 8-ALIGNED dynamic sublane
+    offset and 8-col slab — the fixed kernel's exact DMA shape on dim 2."""
+    def kernel(s_ref, x_in, prod_ref, out_ref, slab, sems):
+        s0 = s_ref[0]
+        off = s_ref[1]
+        read = pltpu.make_async_copy(
+            out_ref.at[pl.ds(s0, 8), pl.ds(0, 8), pl.ds(off, 8), :],
+            slab, sems.at[0],
+        )
+        read.start()
+        read.wait()
+        slab[...] += prod_ref[...]
+        write = pltpu.make_async_copy(
+            slab,
+            out_ref.at[pl.ds(s0, 8), pl.ds(0, 8), pl.ds(off, 8), :],
+            sems.at[1],
+        )
+        write.start()
+        write.wait()
+
+    canvas = jnp.ones((32, 8, 24, 128), jnp.float32)
+    prod = jnp.full((8, 8, 8, 128), 2.0, jnp.float32)
+    s = jnp.asarray([4, 8], jnp.int32)  # off=8: tile-aligned
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 8, 24, 128), jnp.float32),
+        input_output_aliases={1: 0},
+    )(s, canvas, prod)
+    o = np.asarray(out)
+    ok = (
+        np.allclose(o[4:12, :, 8:16], 3.0)
+        and np.allclose(o[4:12, :, :8], 1.0)
+        and np.allclose(o[4:12, :, 16:], 1.0)
+        and np.allclose(o[:4], 1.0)
+    )
+    print("probe hbm sublane ALIGNED slice:", "OK" if ok else "MISMATCH",
+          flush=True)
+
+
+def probe_hbm_4d_untiled_dyn():
+    """4D canvas, dynamic offsets on the two UNTILED dims only (static
+    full sublane/lane extent) — the fallback full-w slab design."""
+    def kernel(s_ref, x_in, prod_ref, out_ref, slab, sems):
+        s0 = s_ref[0]
+        s1 = s_ref[1]
+        read = pltpu.make_async_copy(
+            out_ref.at[pl.ds(s0, 8), pl.ds(s1, 8), :, :],
+            slab, sems.at[0],
+        )
+        read.start()
+        read.wait()
+        slab[...] += prod_ref[...]
+        write = pltpu.make_async_copy(
+            slab,
+            out_ref.at[pl.ds(s0, 8), pl.ds(s1, 8), :, :],
+            sems.at[1],
+        )
+        write.start()
+        write.wait()
+
+    canvas = jnp.ones((32, 16, 24, 128), jnp.float32)
+    prod = jnp.full((8, 8, 24, 128), 2.0, jnp.float32)
+    s = jnp.asarray([4, 3], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 24, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 16, 24, 128), jnp.float32),
+        input_output_aliases={1: 0},
+    )(s, canvas, prod)
+    o = np.asarray(out)
+    ok = (
+        np.allclose(o[4:12, 3:11], 3.0)
+        and np.allclose(o[:4], 1.0)
+        and np.allclose(o[4:12, :3], 1.0)
+        and np.allclose(o[4:12, 11:], 1.0)
+        and np.allclose(o[12:], 1.0)
+    )
+    print("probe hbm 4d untiled dyn:", "OK" if ok else "MISMATCH",
+          flush=True)
+
+
 def probe_full_kernel_small():
     from anatomix_tpu.ops.pallas.scatter import (
         blend_scatter_chunk, fold_tables,
@@ -278,6 +387,7 @@ if __name__ == "__main__":
 
     probes = (probe_roll_static, probe_roll_dynamic, probe_roll_dynamic_3d,
               probe_scalar_mod, probe_alias_rmw, probe_hbm_sublane_slice,
+              probe_hbm_sublane_aligned, probe_hbm_4d_untiled_dyn,
               probe_full_kernel_bigroll, probe_full_kernel_small)
     if len(sys.argv) > 1:
         probes = tuple(q for q in probes if sys.argv[1] in q.__name__)
