@@ -519,12 +519,15 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     the XLA conv/norm relayout traffic (trace r3: the XLA tokenizer cost
     6.3 ms of convs + 8.5 ms of norm-glue copies out of the 34.4 ms ViT
     forward). Exact same math as `_tokenizer_v2` (bf16-level differences
-    only); stem and stride-2 downsample convs stay XLA."""
+    only); stride-2 downsample convs run block->dense in a dedicated
+    Pallas kernel (ops/pallas/conv_down.py) so no full-res depth_to_space
+    ever materializes."""
     from anatomix_tpu.models.unet_fused import _instance_norm_any
     from anatomix_tpu.ops.pallas.conv_block import conv_block_sparse
     from anatomix_tpu.ops.pallas.conv_block_train import (
         pack_sparse_weights_jnp,
     )
+    from anatomix_tpu.ops.pallas.conv_down import conv_down2_block
     from anatomix_tpu.ops.pallas.reshuffle import (
         depth_to_space,
         space_to_depth,
@@ -582,21 +585,68 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
         compute_dtype=cd,
     )
     yb = _instance_norm_any(yb, True, eps=cfg.in_eps, act_fn=lrelu)
-    y = depth_to_space(yb, interpret=interpret)
-    if compute_dtype is None:
-        y = y.astype(x.dtype)
+    y = None  # (block yb) xor (dense y): materialize one representation
+
+    def to_dense(y, yb):
+        if y is None:
+            y = depth_to_space(yb, interpret=interpret)
+            if compute_dtype is None:
+                y = y.astype(x.dtype)  # block path may run a narrower
+                # dtype; XLA ops expect operands matching the f32 weights
+        return y
+
     for stage in tok["stages"]:
+        wd = stage["down"]["w"]
+        ci, co = int(wd.shape[3]), int(wd.shape[4])
+        if yb is not None and (8 * ci) % 128 == 0:
+            # stride-2 down conv straight from block space: the stride-2
+            # output grid IS the input block grid, so the kernel emits a
+            # dense tensor at 1.0x nominal FLOPs with no depth_to_space
+            # (the d2s relayout + misplaced-layout XLA conv were
+            # 3.2 + 4.0 ms of the 36.8 ms round-3 trace)
+            wdc = wd.astype(cd)
+            bd = stage["down"].get("b")
+            bd = jnp.zeros((co,), jnp.float32) if bd is None else bd
+            y = conv_down2_block(
+                yb,
+                wdc[:, :, :1].reshape(9 * ci, co),
+                wdc[:, :, 1:].reshape(18 * ci, co),
+                bd.astype(jnp.float32)[None],
+                act="none", out_dtype=cd, interpret=interpret,
+            )
+            if compute_dtype is None:
+                y = y.astype(x.dtype)
+        else:
+            y = conv(stage["down"], to_dense(y, yb), stride=2)
+        yb = None
         if stage["blocks"] and _stage_sparse_ok(stage):
-            # stride-2 conv XLA (no fused norm); IN+act in block space
-            y = conv(stage["down"], y, stride=2)
             yb = space_to_depth(y.astype(cd), interpret=interpret)
+            y = None
             yb = _instance_norm_any(
                 yb, True, eps=cfg.in_eps, act_fn=lrelu
             )
+            for blk in stage["blocks"]:
+                r = yb
+                z = conv_block_sparse(
+                    yb, pack(blk["conv1"]), pad_type="zeros",
+                    interpret=interpret,
+                )
+                z = _instance_norm_any(
+                    z, True, eps=cfg.in_eps, act_fn=lrelu
+                )
+                z = conv_block_sparse(
+                    z, pack(blk["conv2"]), pad_type="zeros",
+                    interpret=interpret,
+                )
+                # IN + residual + act ride one block elementwise pass
+                yb = _instance_norm_any(
+                    z, True, eps=cfg.in_eps,
+                    act_fn=lambda v, r=r: lrelu(
+                        v + r.astype(jnp.float32)
+                    ),
+                )
         else:
-            y = norm_act(conv(stage["down"], y, stride=2))
-            if not stage["blocks"]:
-                continue
+            y = norm_act(y)
             for blk in stage["blocks"]:
                 r = y
                 y = norm_act(conv(blk["conv1"], y))
@@ -605,29 +655,7 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
                     instance_norm(y, eps=cfg.in_eps) + r,
                     negative_slope=0.01,
                 )
-            continue
-        for blk in stage["blocks"]:
-            r = yb
-            z = conv_block_sparse(
-                yb, pack(blk["conv1"]), pad_type="zeros",
-                interpret=interpret,
-            )
-            z = _instance_norm_any(
-                z, True, eps=cfg.in_eps, act_fn=lrelu
-            )
-            z = conv_block_sparse(
-                z, pack(blk["conv2"]), pad_type="zeros",
-                interpret=interpret,
-            )
-            # IN + residual + act ride one block-layout elementwise pass
-            yb = _instance_norm_any(
-                z, True, eps=cfg.in_eps,
-                act_fn=lambda v: lrelu(v + r.astype(jnp.float32)),
-            )
-        y = depth_to_space(yb, interpret=interpret)
-        if compute_dtype is None:
-            y = y.astype(x.dtype)  # block path ran bf16; XLA ops expect
-            # operand dtypes to match the f32 weights
+    y = to_dense(y, yb)
     y = conv3d(y, tok["proj"]["w"], tok["proj"].get("b"),
                compute_dtype=compute_dtype)
     return y
