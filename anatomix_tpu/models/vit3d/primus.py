@@ -661,17 +661,25 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     return y
 
 
-def _decoder(cfg, dec, grid, compute_dtype=None):
+def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
+             interpret=False):
     """Transposed-conv ×2 stages back to full resolution.
 
     A stride-2 kernel-2 transposed conv has non-overlapping windows, so
     each stage is exactly ONE GEMM into block layout (output channels
     (ad, ah, aw)-major) followed by depth-to-space — XLA's conv_transpose
-    lowering is replaced by a plain matmul + the Pallas reshuffle."""
+    lowering is replaced by a plain matmul + the Pallas reshuffle.
+
+    With `fuse_demean` (the 'demean' out-norm) the final bias cancels
+    (demean(y + b) == demean(y)) and the per-channel spatial mean is taken
+    on the SMALL pre-d2s block tensor, with the subtract + f32 cast fused
+    into the exit reshuffle — the separate full-res f32 materialize /
+    reduce / sub chain was ~3 ms of the 36.8 ms round-3 ViT trace.
+    Returns (volume, demeaned: bool)."""
     from anatomix_tpu.ops.pallas.conv3x3 import _depth_to_space
     from anatomix_tpu.ops.pallas.reshuffle import depth_to_space as _d2s
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = jax.default_backend() not in ("cpu",) or interpret
     y = grid
     n = len(dec)
     for i, p in enumerate(dec):
@@ -683,17 +691,26 @@ def _decoder(cfg, dec, grid, compute_dtype=None):
             "bdhwc,ce->bdhwe", y.astype(dt), w2.astype(dt),
             preferred_element_type=jnp.float32,
         ).astype(dt)
+        use_kernel_d2s = on_tpu and co >= 8
+        if fuse_demean and i == n - 1 and use_kernel_d2s:
+            B = yb.shape[0]
+            m8 = jnp.mean(yb.astype(jnp.float32), axis=(1, 2, 3))
+            m = m8.reshape(B, 8, co).mean(axis=1)  # (B, C) spatial mean
+            y = _d2s(yb, sub=jnp.tile(m, (1, 8)),
+                     out_dtype=jnp.float32, interpret=interpret)
+            return y, True
         # stay in compute dtype between stages: materializing the d2s
         # output in f32 cost ~4.3 ms of pure HBM traffic at the 128³ stage
         # (trace r3); the inter-stage LayerNorm computes its statistics in
         # f32 internally regardless, and the final f32 cast happens once at
         # the decoder output.
-        y = _d2s(yb) if on_tpu and co >= 8 else _depth_to_space(yb)
+        y = (_d2s(yb, interpret=interpret) if use_kernel_d2s
+             else _depth_to_space(yb))
         if "b" in p:
             y = y + p["b"].astype(y.dtype)
         if i < n - 1:
             y = jax.nn.gelu(channel_layer_norm(y, eps=1e-6))
-    return y.astype(jnp.float32)
+    return y.astype(jnp.float32), False
 
 
 def primus_apply(
@@ -769,11 +786,18 @@ def primus_apply(
     tokens = tokens[:, n_prefix:]
     grid = tokens.reshape(B, gd, gh, gw, cfg.embed_dim)
 
-    volume = _decoder(
-        cfg, params["decoder"], grid, compute_dtype=compute_dtype
+    mode = cfg.out_norm
+    if isinstance(mode, bool):
+        mode = "instance" if mode else "none"
+    volume, demeaned = _decoder(
+        cfg, params["decoder"], grid, compute_dtype=compute_dtype,
+        fuse_demean=(mode or "none").lower() in ("demean", "center"),
     )
-    out_norm = build_out_norm(cfg.out_norm, cfg.out_norm_eps)
-    output = out_norm(volume)
+    if demeaned:
+        output = volume
+    else:
+        out_norm = build_out_norm(cfg.out_norm, cfg.out_norm_eps)
+        output = out_norm(volume)
 
     if layers:
         features = [output]

@@ -39,6 +39,19 @@ def _d2s_kernel(y_ref, out_ref, *, C: int):
             out_ref[:, a, :, b] = y_ref[..., g: g + 2 * C]
 
 
+def _d2s_sub_kernel(y_ref, s_ref, out_ref, *, C: int):
+    # d2s with a fused per-lane f32 subtract + output cast (the ViT
+    # 'demean' out-norm rides the exit reshuffle instead of a separate
+    # full-res f32 materialize/reduce/sub chain)
+    for a in range(2):
+        for b in range(2):
+            g = (a * 2 + b) * 2 * C
+            out_ref[:, a, :, b] = (
+                y_ref[..., g: g + 2 * C].astype(jnp.float32)
+                - s_ref[0, g: g + 2 * C]
+            ).astype(out_ref.dtype)
+
+
 def _s2d_kernel(x_ref, out_ref, *, C: int):
     # x_ref: (td, 2, th, 2, w, 2C); out_ref: (td, th, w, 8C)
     for a in range(2):
@@ -71,8 +84,17 @@ def _pick_tile_2d(d: int, h: int, w: int, C: int, itemsize: int,
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def depth_to_space(y: jax.Array, *, interpret: bool = False) -> jax.Array:
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "out_dtype")
+)
+def depth_to_space(
+    y: jax.Array,
+    *,
+    sub: jax.Array | None = None,  # (B, 8C) f32 per-lane offset to
+    # subtract in-kernel (the ViT demean out-norm rides the reshuffle)
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
     """Block layout (B, d, h, w, 8C) -> (B, 2d, 2h, 2w, C).
 
     Inverse of overlapped space-to-depth packing (channel order
@@ -81,25 +103,44 @@ def depth_to_space(y: jax.Array, *, interpret: bool = False) -> jax.Array:
     """
     B, d, h, w, c8 = y.shape
     C = c8 // 8
-    td, th = _pick_tile_2d(d, h, w, C, y.dtype.itemsize)
-    kernel = functools.partial(_d2s_kernel, C=C)
+    out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    td, th = _pick_tile_2d(
+        d, h, w, C,
+        max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize),
+    )
+    if sub is None:
+        kernel = functools.partial(_d2s_kernel, C=C)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        kernel = functools.partial(_d2s_sub_kernel, C=C)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c8), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
 
-    def one(v):
+    def one(v, *rest):
         out6 = pl.pallas_call(
             kernel,
             grid=(d // td, h // th),
-            in_specs=[
-                pl.BlockSpec(
-                    (td, th, w, c8), lambda i, j: (i, j, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (td, 2, th, 2, w, 2 * C),
                 lambda i, j: (i, 0, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            out_shape=jax.ShapeDtypeStruct((d, 2, h, 2, w, 2 * C), y.dtype),
+            out_shape=jax.ShapeDtypeStruct(
+                (d, 2, h, 2, w, 2 * C), out_dtype
+            ),
             cost_estimate=pl.CostEstimate(
                 flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
             ),
@@ -107,11 +148,13 @@ def depth_to_space(y: jax.Array, *, interpret: bool = False) -> jax.Array:
                 vmem_limit_bytes=_VMEM_LIMIT
             ),
             interpret=interpret,
-        )(v)
+        )(v, *rest)
         # (d,2,h,2,w,2C) -> (2d,2h,2w,C): contiguous-order merge, free
         return out6.reshape(2 * d, 2 * h, 2 * w, C)
 
-    return jax.vmap(one)(y)
+    if sub is None:
+        return jax.vmap(one)(y)
+    return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -256,9 +256,45 @@ def test_decoder_matches_torch_convtranspose():
         "b": jnp.asarray(tc.bias.detach().numpy()),
     }]
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
-    y = _decoder(None, dec, xj, compute_dtype=jnp.float32)
+    y, demeaned = _decoder(None, dec, xj, compute_dtype=jnp.float32)
+    assert not demeaned
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 4, 1, 2, 3), ref, atol=1e-5
+    )
+
+
+def test_decoder_fused_demean_matches_reference():
+    """The in-reshuffle demean (mean on the pre-d2s block tensor, bias
+    cancelled, subtract fused into the exit d2s) equals channel_demean of
+    the plain decoder output (interpret mode exercises the kernel path)."""
+    from anatomix_tpu.models.vit3d.primus import _decoder
+    from anatomix_tpu.ops.norms import channel_demean
+
+    rng = np.random.default_rng(3)
+    dec = []
+    ch = 24
+    for co in (16, 8):
+        dec.append({
+            "w": jnp.asarray(
+                rng.standard_normal((2, 2, 2, ch, co)).astype(np.float32)
+                * 0.1
+            ),
+            "b": jnp.asarray(
+                rng.standard_normal((co,)).astype(np.float32)
+            ),
+        })
+        ch = co
+    x = jnp.asarray(
+        rng.standard_normal((2, 4, 4, 4, 24)).astype(np.float32)
+    )
+    plain, d0 = _decoder(None, dec, x, compute_dtype=jnp.float32)
+    assert not d0
+    ref = channel_demean(plain)
+    fused, d1 = _decoder(None, dec, x, compute_dtype=jnp.float32,
+                         fuse_demean=True, interpret=True)
+    assert d1
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=2e-5
     )
 
 

@@ -308,6 +308,156 @@ def probe_hbm_4d_untiled_dyn():
           flush=True)
 
 
+def probe_hbm_3dyn():
+    """One DMA with THREE dynamic offsets (two untiled dims + aligned
+    sublane dim) — the blend-scatter kernel's exact slab addressing."""
+    def kernel(s_ref, x_in, prod_ref, out_ref, slab, sems):
+        s0, s1, off = s_ref[0], s_ref[1], s_ref[2]
+        read = pltpu.make_async_copy(
+            out_ref.at[pl.ds(s0, 8), pl.ds(s1, 8), pl.ds(off, 8), :],
+            slab, sems.at[0],
+        )
+        read.start()
+        read.wait()
+        slab[...] += prod_ref[...]
+        write = pltpu.make_async_copy(
+            slab,
+            out_ref.at[pl.ds(s0, 8), pl.ds(s1, 8), pl.ds(off, 8), :],
+            sems.at[1],
+        )
+        write.start()
+        write.wait()
+
+    canvas = jnp.ones((32, 16, 24, 128), jnp.float32)
+    prod = jnp.full((8, 8, 8, 128), 2.0, jnp.float32)
+    s = jnp.asarray([4, 3, 8], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 16, 24, 128), jnp.float32),
+        input_output_aliases={1: 0},
+    )(s, canvas, prod)
+    o = np.asarray(out)
+    ok = (
+        np.allclose(o[4:12, 3:11, 8:16], 3.0)
+        and np.allclose(o[4:12, 3:11, :8], 1.0)
+        and np.allclose(o[:4], 1.0)
+    )
+    print("probe hbm 3-dyn-offset DMA:", "OK" if ok else "MISMATCH",
+          flush=True)
+
+
+def probe_alias_grid_overlap():
+    """Aliased in-place RMW across MULTIPLE grid steps whose slabs
+    overlap — the scan-of-windows structure of the real kernel."""
+    def kernel(s_ref, x_in, prod_ref, out_ref, slab, sems):
+        b = pl.program_id(0)
+        s0 = s_ref[b]
+        read = pltpu.make_async_copy(
+            out_ref.at[pl.ds(s0, 8), :, :], slab, sems.at[0]
+        )
+        read.start()
+        read.wait()
+        slab[...] += prod_ref[0]
+        write = pltpu.make_async_copy(
+            slab, out_ref.at[pl.ds(s0, 8), :, :], sems.at[1]
+        )
+        write.start()
+        write.wait()
+
+    canvas = jnp.zeros((32, 8, 128), jnp.float32)
+    prod = jnp.full((3, 1, 8, 8, 128), 1.0, jnp.float32)
+    s = jnp.asarray([0, 4, 8], jnp.int32)  # overlapping slabs
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(3,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, 8, 8, 128), lambda b, *_: (b, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 8, 128), jnp.float32),
+        input_output_aliases={1: 0},
+    )(s, canvas, prod)
+    o = np.asarray(out)[:, 0, 0]
+    ref = np.zeros(32)
+    for st in (0, 4, 8):
+        ref[st: st + 8] += 1.0
+    ok = np.allclose(o, ref)
+    print("probe alias grid overlap:", "OK" if ok else f"MISMATCH {o}",
+          flush=True)
+
+
+def probe_roll_plus_dma():
+    """Dynamic roll AND aliased RMW DMA in the same kernel body."""
+    def kernel(s_ref, x_in, prod_ref, out_ref, slab, sems):
+        s0, k = s_ref[0], s_ref[1]
+        read = pltpu.make_async_copy(
+            out_ref.at[pl.ds(s0, 8), :, :], slab, sems.at[0]
+        )
+        read.start()
+        read.wait()
+        rolled = pltpu.roll(prod_ref[...], k * 16, axis=2)
+        slab[...] += rolled
+        write = pltpu.make_async_copy(
+            slab, out_ref.at[pl.ds(s0, 8), :, :], sems.at[1]
+        )
+        write.start()
+        write.wait()
+
+    canvas = jnp.zeros((32, 8, 128), jnp.float32)
+    base = np.zeros((8, 8, 128), np.float32)
+    base[..., 0] = 7.0
+    prod = jnp.asarray(base)
+    s = jnp.asarray([4, 2], jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, 8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((32, 8, 128), jnp.float32),
+        input_output_aliases={1: 0},
+    )(s, canvas, prod)
+    o = np.asarray(out)
+    ok = np.allclose(o[4:12, :, 32], 7.0) and np.allclose(o[4:12, :, 0], 0.0)
+    print("probe roll+dma:", "OK" if ok else "MISMATCH", flush=True)
+
+
 def probe_full_kernel_small():
     from anatomix_tpu.ops.pallas.scatter import (
         blend_scatter_chunk, fold_tables,
@@ -388,6 +538,8 @@ if __name__ == "__main__":
     probes = (probe_roll_static, probe_roll_dynamic, probe_roll_dynamic_3d,
               probe_scalar_mod, probe_alias_rmw, probe_hbm_sublane_slice,
               probe_hbm_sublane_aligned, probe_hbm_4d_untiled_dyn,
+              probe_hbm_3dyn, probe_alias_grid_overlap,
+              probe_roll_plus_dma,
               probe_full_kernel_bigroll, probe_full_kernel_small)
     if len(sys.argv) > 1:
         probes = tuple(q for q in probes if sys.argv[1] in q.__name__)
