@@ -171,3 +171,64 @@ def test_flash_attention_matches_einsum_hw():
     out = np.asarray(flash(q, k, v), np.float32)
     want = np.asarray(ref(q, k, v), np.float32)
     assert _rel_err(out, want) < 2e-2
+
+
+def test_conv_down2_matches_xla_hw():
+    """Stride-2 block->dense down conv kernel == XLA stride-2 conv on HW
+    (interpret mode cannot catch DMA alignment / layout faults)."""
+    from anatomix_tpu.ops.conv import conv3d
+    from anatomix_tpu.ops.pallas.conv_down import (
+        conv_down2_block,
+        pack_down2_weights,
+    )
+    from anatomix_tpu.ops.pallas.reshuffle import space_to_depth
+
+    rng = np.random.default_rng(0)
+    for (D, Ci, Co) in [(64, 32, 64), (32, 64, 128)]:
+        x = jnp.asarray(
+            rng.standard_normal((1, D, D, D, Ci)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, Ci, Co)).astype(np.float32)
+            * (1.0 / math.sqrt(27 * Ci))
+        )
+        b = jnp.asarray(rng.standard_normal((Co,)).astype(np.float32))
+        ref = conv3d(
+            x, w, b, stride=2, padding=[(1, 1)] * 3,
+            compute_dtype=jnp.bfloat16,
+        )
+        xb = space_to_depth(x)
+        w0, w1 = pack_down2_weights(np.asarray(w, np.float32))
+        got = conv_down2_block(
+            xb,
+            jnp.asarray(w0).astype(jnp.bfloat16),
+            jnp.asarray(w1).astype(jnp.bfloat16),
+            b[None],
+            act="none", out_dtype=jnp.bfloat16,
+        )
+        assert _rel_err(got, np.asarray(ref, np.float32)) < 2e-2
+
+
+def test_d2s_fused_sub_matches_hw():
+    """depth_to_space with the fused per-lane subtract + f32 cast == plain
+    d2s minus the broadcast offset (the ViT demean fusion), on HW."""
+    from anatomix_tpu.ops.pallas.reshuffle import depth_to_space
+
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 8, 128)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    sub = jnp.asarray(rng.standard_normal((1, 128)).astype(np.float32))
+    plain = np.asarray(depth_to_space(y), np.float32)
+    fused = np.asarray(
+        depth_to_space(y, sub=sub, out_dtype=jnp.float32), np.float32
+    )
+    # reference: d2s the lane-broadcast offset volume (lane a*C+c holds
+    # channel c of sub-position a) and subtract it in full-res space
+    off_vol = depth_to_space(
+        jnp.broadcast_to(
+            sub.astype(jnp.bfloat16)[:, None, None, None, :], y.shape
+        )
+    )
+    ref = plain - np.asarray(off_vol, np.float32)
+    assert np.abs(fused - ref).max() < 1e-2
