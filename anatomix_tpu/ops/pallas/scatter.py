@@ -4,20 +4,21 @@ The XLA lane-folded scatter (ops/sliding_window.py `scatter_one`) costs
 ~3.9-4.2 ms per 128-cube window and is canvas-size-independent
 (tools/_exp_scatter2.py) — the cost is the unaligned dynamic-update-slice
 chain itself, ~6x over its HBM traffic floor. This kernel does the
-read-modify-write with manual DMAs at the traffic floor:
+read-modify-write near the traffic floor.
 
-* The canvas keeps the lane-folded layout (D, H, Wf, fold*C=128) f32 and
-  is updated IN PLACE (input_output_aliases) — only the touched slabs
-  move; window d/h offsets land on untiled dims and the folded w offset
-  needs no alignment on the HBM side.
-* The window product arrives lane-merged as (B, r0, r1, r2*C): the
-  window's intra-fold phase k = s2 % fold becomes ONE dynamic lane roll
-  by k*C (pltpu.roll, f32), after which every folded canvas column reads
-  a static 128-lane slice.
-* The blend weights are applied in-kernel from separable factors
-  (gdh = gd x gh outer product, per-phase folded gw tables with boundary
-  zeros) with MONAI's max(m, min_nonzero) clamp computed per element —
-  matching `gaussian_importance_map` to f32 rounding.
+Design (v2 — the v1 slab design with a dynamic sublane-dim DMA offset
+crashed the TPU worker even 8-aligned; waves 10-13 bisect): the canvas is
+a 3-D (D, H, W*C) f32 tensor updated IN PLACE (input_output_aliases), so
+the slab DMA slices it ONLY on the two untiled dims (d, h) — the one
+dynamic-offset pattern proven safe on HW (probe_alias_rmw /
+probe_hbm_4d_untiled_dyn) — and reads the FULL W*C lane extent. The
+window's w placement becomes a single dynamic lane roll by s2*C of the
+zero-padded weighted product: flat (w, c) order makes the folded canvas
+row and the window row the same 1-D layout, and starts are in-bounds so
+the roll never wraps. Blend weights apply BEFORE the roll from separable
+factors (gdh = gd x gh outer product block, per-lane gw = repeat(g2, C))
+with MONAI's max(imp, min_nonzero) clamp per element; masked padding
+windows multiply to zero after the clamp.
 
 Reference semantics: MONAI sliding_window_inference gaussian blending
 (`convex_adam_utils.py:202-219`).
@@ -36,82 +37,49 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_LIMIT = 40 * 2 ** 20
 
 
-ALIGN = 8  # f32 sublane tile: canvas slab column bases must be 8-aligned
-# (a DMA with a dynamic UNALIGNED offset on the second-to-last dim crashes
-# the TPU worker — tools/_exp_scatterprobe.py probe_hbm_sublane_slice); the
-# residual column shift is absorbed into the lane roll, growing the phase
-# space to fold*ALIGN and the slab by ALIGN columns.
-
-
-def fold_tables(imp_axes, minv: float, fold: int, C: int):
-    """Per-phase folded w-weight and validity tables (host-side, f64).
-
-    imp_axes: the three per-axis window functions from
-    `gaussian_importance_map` BEFORE normalization, or ones. Returns
-    (gdh (r0, r1) f32, gw_fold (fold*ALIGN, cols, fold*C) f32 with
-    boundary zeros, valid (same) f32 1/0) where phase
-    k = s2 % (fold*ALIGN) and cols = r2//fold + ALIGN.
-    """
+def lane_tables(imp_axes, C: int):
+    """Host-side separable blend factors for the kernel: gdh (r0, r1) f32
+    outer product of the first two axes, gw (r2*C,) f32 per-lane w factor.
+    `imp_axes` are the per-axis window functions from
+    `gaussian_importance_map` BEFORE normalization, or ones."""
     g0, g1, g2 = imp_axes
-    r2 = len(g2)
-    phases = fold * ALIGN
-    cols = r2 // fold + ALIGN
     gdh = np.outer(g0, g1).astype(np.float32)
-    gw_fold = np.zeros((phases, cols, fold * C), np.float32)
-    valid = np.zeros((phases, cols, fold * C), np.float32)
-    for k in range(phases):
-        for f in range(cols):
-            for j in range(fold):
-                wloc = f * fold + j - k
-                if 0 <= wloc < r2:
-                    gw_fold[k, f, j * C: (j + 1) * C] = g2[wloc]
-                    valid[k, f, j * C: (j + 1) * C] = 1.0
-    return gdh, gw_fold, valid
+    gw = np.repeat(np.asarray(g2, np.float64), C).astype(np.float32)
+    return gdh, gw
 
 
 def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
-            v_ref, out_ref, slab, sems, *, td, r1, cols, fold, C, minv,
-            interpret):
+            out_ref, slab, sems, *, td, r1, L, C, minv):
     b = pl.program_id(0)
     i = pl.program_id(1)
     s0 = starts_ref[b, 0]
     s1 = starts_ref[b, 1]
     s2 = starts_ref[b, 2]
-    # 8-aligned slab base; the residual shift rides the lane roll
-    off = (s2 // (fold * ALIGN)) * ALIGN
-    k = s2 % (fold * ALIGN)
-    lanes = fold * C
 
     read = pltpu.make_async_copy(
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1),
-                   pl.ds(off, cols), :],
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :],
         slab,
         sems.at[0],
     )
     read.start()
-    read.wait()
 
-    p32 = prod_ref[0].astype(jnp.float32)
-    rolled = pltpu.roll(p32, k * C, axis=2)
-    # mask must multiply AFTER the clamp: max(0 * gw, minv) = minv would
+    p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, r2*C)
+    # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
     # resurrect padding windows wherever the clamp floor is nonzero
-    maskf = mask_ref[b].astype(jnp.float32)
-    gdh = gdh_ref[...].astype(jnp.float32)[:, :, None]
-    L = p32.shape[-1]
-    for f in range(cols):
-        gw = gw_ref[k, f][None, None, :]
-        vv = v_ref[k, f][None, None, :] * maskf
-        w = jnp.maximum(gdh * gw, minv) * vv
-        # columns past r2*C wrap around the roll: with L = r2*C a
-        # multiple of fold*C, wrapped values land on exactly the
-        # window voxels the column needs (validity zeros the rest)
-        g = (f * lanes) % L
-        slab[:, :, f, :] += rolled[:, :, g: g + lanes] * w
+    w = jnp.maximum(
+        gdh_ref[...].astype(jnp.float32)[:, :, None]
+        * gw_ref[0][None, None, :],
+        minv,
+    ) * mask_ref[b].astype(jnp.float32)
+    pw = p32 * w
+    padded = jnp.pad(pw, ((0, 0), (0, 0), (0, L - pw.shape[-1])))
+    rolled = pltpu.roll(padded, s2 * C, axis=2)
 
+    read.wait()
+    slab[...] += rolled
     write = pltpu.make_async_copy(
         slab,
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1),
-                   pl.ds(off, cols), :],
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :],
         sems.at[1],
     )
     write.start()
@@ -119,41 +87,36 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fold", "C", "minv", "interpret")
+    jax.jit, static_argnames=("C", "minv", "interpret")
 )
 def blend_scatter_chunk(
-    canvas: jax.Array,   # (D, H, Wf, fold*C) f32 lane-folded accumulator
+    canvas: jax.Array,   # (D, H, W*C) f32 flat-lane accumulator
     prod: jax.Array,     # (B, r0, r1, r2*C) window outputs, lane-merged
     starts: jax.Array,   # (B, 3) int32 window starts (in-bounds)
     mask: jax.Array,     # (B,) int32 1 = real window, 0 = padding
     gdh: jax.Array,      # (r0, r1) f32 separable blend factor
-    gw_fold: jax.Array,  # (fold, cols, fold*C) f32 folded w factor
-    valid: jax.Array,    # (fold, cols, fold*C) f32 boundary validity
+    gw: jax.Array,       # (r2*C,) f32 per-lane w blend factor
     *,
-    fold: int,
     C: int,
     minv: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """canvas[s0:+r0, s1:+r1, w-region] += prod * max(imp, minv), in place.
-
-    Returns the updated canvas (aliased with the input)."""
+    """canvas[s0:+r0, s1:+r1, s2*C:+r2*C] += prod * max(imp, minv), in
+    place. Returns the updated canvas (aliased with the input)."""
     B, r0, r1, r2C = prod.shape
-    cols = gw_fold.shape[1]
-    lanes = fold * C
+    D, H, L = canvas.shape
 
     td = r0
     while td > 1 and (
         r0 % td
-        or (2 * td * r1 * cols * lanes * 4
-            + 3 * td * r1 * r2C * prod.dtype.itemsize)
-        > 24 * 2 ** 20
+        or (3 * td * r1 * L * 4 + 2 * td * r1 * r2C
+            * (prod.dtype.itemsize + 4))
+        > 30 * 2 ** 20
     ):
         td //= 2
 
     kernel = functools.partial(
-        _kernel, td=td, r1=r1, cols=cols, fold=fold, C=C, minv=minv,
-        interpret=interpret,
+        _kernel, td=td, r1=r1, L=L, C=C, minv=minv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -168,12 +131,14 @@ def blend_scatter_chunk(
                 (td, r1), lambda b, i, *_: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # gw_fold
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid
+            pl.BlockSpec(
+                (1, r2C), lambda b, i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((td, r1, cols, lanes), jnp.float32),
+            pltpu.VMEM((td, r1, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -184,12 +149,11 @@ def blend_scatter_chunk(
         input_output_aliases={2: 0},  # flat inputs: starts, mask, canvas
         cost_estimate=pl.CostEstimate(
             flops=2 * B * r0 * r1 * r2C,
-            bytes_accessed=2 * B * r0 * r1 * cols * lanes * 4
-            + prod.nbytes,
+            bytes_accessed=2 * B * r0 * r1 * L * 4 + prod.nbytes,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(starts, mask, canvas, prod, gdh, gw_fold, valid)
+    )(starts, mask, canvas, prod, gdh, gw[None])

@@ -175,37 +175,30 @@ def _scan_windows(
             volume3d, (s[0], s[1], s[2], 0), (r0, r1, r2, C)
         )
 
-    # Pallas scatter kernel: in-place slab RMW at the HBM traffic floor
+    # Pallas scatter kernel: in-place slab RMW near the HBM traffic floor
     # (the XLA dynamic-update-slice chain below costs ~4 ms/window,
-    # canvas-size-independent — tools/_exp_scatter2.py). Needs the full
-    # 128-lane fold, separable blend factors, f32 accumulator, and a TPU.
-    # DEFAULT OFF: the kernel still crashes the TPU worker (wave-11,
-    # 2026-08-19) — dynamic sublane-dim HBM DMA offsets are the suspect
-    # even 8-aligned; opt in with ANATOMIX_SCATTER_KERNEL=1 once fixed.
+    # canvas-size-independent — tools/_exp_scatter2.py). v2 design: 3-D
+    # flat-lane canvas, DMA offsets only on untiled dims, window w-offset
+    # as one lane roll (the v1 dynamic sublane-offset DMA crashed the TPU
+    # worker, waves 10-13). Needs separable blend factors, f32
+    # accumulator, and a TPU. DEFAULT OFF until HW-validated; opt in with
+    # ANATOMIX_SCATTER_KERNEL=1.
     use_kernel = (
         imp_factors is not None
-        and fold > 1
-        and lanes == 128
-        and r2 % fold == 0
         and acc_dtype == jnp.float32
         and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
         and (jax.default_backend() not in ("cpu",) or interpret)
     )
     if use_kernel:
         from anatomix_tpu.ops.pallas.scatter import (
-            ALIGN, blend_scatter_chunk, fold_tables,
+            blend_scatter_chunk, lane_tables,
         )
 
         g_axes, minv = imp_factors
-        gdh_np, gwf_np, valid_np = fold_tables(
-            g_axes, minv, fold, out_channels
-        )
+        gdh_np, gw_np = lane_tables(g_axes, out_channels)
         gdh = jnp.asarray(gdh_np)
-        gwf = jnp.asarray(gwf_np)
-        validt = jnp.asarray(valid_np)
-        # kernel slab bases are ALIGN-col aligned -> wider canvas tail
-        Wfk = W // fold + ALIGN
-        acc0 = jnp.zeros((D, H, Wfk, lanes), acc_dtype)
+        gw = jnp.asarray(gw_np)
+        acc0 = jnp.zeros((D, H, W * out_channels), acc_dtype)
         if vary_axis is not None:
             acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
@@ -216,8 +209,8 @@ def _scan_windows(
             prod = out.reshape(out.shape[0], r0, r1, r2 * out_channels)
             acc = blend_scatter_chunk(
                 acc, prod, chunk_starts, chunk_mask.astype(jnp.int32),
-                gdh, gwf, validt, fold=fold, C=out_channels,
-                minv=float(minv), interpret=interpret,
+                gdh, gw, C=out_channels, minv=float(minv),
+                interpret=interpret,
             )
             return acc, None
 
@@ -229,10 +222,7 @@ def _scan_windows(
                 mask.reshape(n_chunks, sw_batch_size),
             ),
         )
-        acc = acc.reshape(
-            D, H, Wfk * fold, out_channels
-        )[:, :, :W]
-        return acc
+        return acc.reshape(D, H, W, out_channels)
 
     def chunk_body(acc, chunk):
         chunk_starts, chunk_mask = chunk
