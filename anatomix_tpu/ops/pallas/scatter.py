@@ -6,19 +6,22 @@ The XLA lane-folded scatter (ops/sliding_window.py `scatter_one`) costs
 chain itself, ~6x over its HBM traffic floor. This kernel does the
 read-modify-write near the traffic floor.
 
-Design (v2 — the v1 slab design with a dynamic sublane-dim DMA offset
-crashed the TPU worker even 8-aligned; waves 10-13 bisect): the canvas is
-a 3-D (D, H, W*C) f32 tensor updated IN PLACE (input_output_aliases), so
-the slab DMA slices it ONLY on the two untiled dims (d, h) — the one
-dynamic-offset pattern proven safe on HW (probe_alias_rmw /
-probe_hbm_4d_untiled_dyn) — and reads the FULL W*C lane extent. The
-window's w placement becomes a single dynamic lane roll by s2*C of the
-zero-padded weighted product: flat (w, c) order makes the folded canvas
-row and the window row the same 1-D layout, and starts are in-bounds so
-the roll never wraps. Blend weights apply BEFORE the roll from separable
-factors (gdh = gd x gh outer product block, per-lane gw = repeat(g2, C))
-with MONAI's max(imp, min_nonzero) clamp per element; masked padding
-windows multiply to zero after the clamp.
+Design (v3): the canvas is a 3-D (D, H+8, W*C) f32 tensor updated IN
+PLACE (input_output_aliases). The slab DMA slices dim 0 (untiled —
+arbitrary dynamic offsets are safe) and dim 1 at an 8-ALIGNED base
+`(s1 // 8) * 8` flagged with `pl.multiple_of` (dim 1 is the sublane-tiled
+dim of a 3-D memref, so Mosaic requires provably tile-aligned offsets —
+the v2 unaligned slice failed compile, and the v1 4-D design's dynamic
+sublane DMA crashed the worker outright; waves 10-15 bisect). The
+sub-tile h-offset phi = s1 - s1a in [0, 8) and the window's w placement
+both move the zero-padded weighted product in-register: a sublane roll
+by phi and a lane roll by s2*C (starts are in-bounds, so neither
+wraps). The canvas carries 8 slack rows on dim 1 so the aligned slab
+extent r1+8 never overruns; the caller slices them off. Blend weights
+apply BEFORE the rolls from separable factors (gdh = gd x gh outer
+product block, per-lane gw = repeat(g2, C)) with MONAI's
+max(imp, min_nonzero) clamp per element; masked padding windows
+multiply to zero after the clamp.
 
 Reference semantics: MONAI sliding_window_inference gaussian blending
 (`convex_adam_utils.py:202-219`).
@@ -55,9 +58,11 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     s0 = starts_ref[b, 0]
     s1 = starts_ref[b, 1]
     s2 = starts_ref[b, 2]
+    s1a = pl.multiple_of((s1 // 8) * 8, 8)
+    phi = s1 - s1a
 
     read = pltpu.make_async_copy(
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :],
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1a, r1 + 8), :],
         slab,
         sems.at[0],
     )
@@ -72,14 +77,18 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
         minv,
     ) * mask_ref[b].astype(jnp.float32)
     pw = p32 * w
-    padded = jnp.pad(pw, ((0, 0), (0, 0), (0, L - pw.shape[-1])))
-    rolled = pltpu.roll(padded, s2 * C, axis=2)
+    padded = jnp.pad(
+        pw, ((0, 0), (0, 8), (0, L - pw.shape[-1]))
+    )
+    rolled = pltpu.roll(
+        pltpu.roll(padded, s2 * C, axis=2), phi, axis=1
+    )
 
     read.wait()
     slab[...] += rolled
     write = pltpu.make_async_copy(
         slab,
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :],
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1a, r1 + 8), :],
         sems.at[1],
     )
     write.start()
@@ -90,7 +99,7 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     jax.jit, static_argnames=("C", "minv", "interpret")
 )
 def blend_scatter_chunk(
-    canvas: jax.Array,   # (D, H, W*C) f32 flat-lane accumulator
+    canvas: jax.Array,   # (D, H_real + 8, W*C) f32 flat-lane accumulator
     prod: jax.Array,     # (B, r0, r1, r2*C) window outputs, lane-merged
     starts: jax.Array,   # (B, 3) int32 window starts (in-bounds)
     mask: jax.Array,     # (B,) int32 1 = real window, 0 = padding
@@ -102,14 +111,17 @@ def blend_scatter_chunk(
     interpret: bool = False,
 ) -> jax.Array:
     """canvas[s0:+r0, s1:+r1, s2*C:+r2*C] += prod * max(imp, minv), in
-    place. Returns the updated canvas (aliased with the input)."""
+    place. Returns the updated canvas (aliased with the input). The
+    canvas dim 1 MUST carry 8 slack rows past the real extent (the
+    aligned slab covers [(s1//8)*8, +r1+8)); the caller slices them
+    off."""
     B, r0, r1, r2C = prod.shape
     D, H, L = canvas.shape
 
     td = r0
     while td > 1 and (
         r0 % td
-        or (3 * td * r1 * L * 4 + 2 * td * r1 * r2C
+        or (3 * td * (r1 + 8) * L * 4 + 2 * td * r1 * r2C
             * (prod.dtype.itemsize + 4))
         > 30 * 2 ** 20
     ):
@@ -138,7 +150,7 @@ def blend_scatter_chunk(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((td, r1, L), jnp.float32),
+            pltpu.VMEM((td, r1 + 8, L), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

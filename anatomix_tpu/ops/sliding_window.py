@@ -177,15 +177,19 @@ def _scan_windows(
 
     # Pallas scatter kernel: in-place slab RMW near the HBM traffic floor
     # (the XLA dynamic-update-slice chain below costs ~4 ms/window,
-    # canvas-size-independent — tools/_exp_scatter2.py). v2 design: 3-D
-    # flat-lane canvas, DMA offsets only on untiled dims, window w-offset
-    # as one lane roll (the v1 dynamic sublane-offset DMA crashed the TPU
-    # worker, waves 10-13). Needs separable blend factors, f32
-    # accumulator, and a TPU. DEFAULT OFF until HW-validated; opt in with
+    # canvas-size-independent — tools/_exp_scatter2.py). v3 design: 3-D
+    # flat-lane canvas with 8 slack h-rows, DMA offsets dynamic on the
+    # untiled d dim and 8-ALIGNED on the sublane h dim, with the sub-tile
+    # h offset and the window w placement as in-register sublane/lane
+    # rolls (v1's unaligned sublane DMA crashed the worker; v2's
+    # unaligned h slice failed Mosaic compile — waves 10-15). Needs
+    # separable blend factors, f32 accumulator, 128-divisible folded
+    # width, and a TPU. DEFAULT OFF until HW-validated; opt in with
     # ANATOMIX_SCATTER_KERNEL=1.
     use_kernel = (
         imp_factors is not None
         and acc_dtype == jnp.float32
+        and (W * out_channels) % 128 == 0
         and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
         and (jax.default_backend() not in ("cpu",) or interpret)
     )
@@ -198,7 +202,7 @@ def _scan_windows(
         gdh_np, gw_np = lane_tables(g_axes, out_channels)
         gdh = jnp.asarray(gdh_np)
         gw = jnp.asarray(gw_np)
-        acc0 = jnp.zeros((D, H, W * out_channels), acc_dtype)
+        acc0 = jnp.zeros((D, H + 8, W * out_channels), acc_dtype)
         if vary_axis is not None:
             acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
@@ -222,7 +226,7 @@ def _scan_windows(
                 mask.reshape(n_chunks, sw_batch_size),
             ),
         )
-        return acc.reshape(D, H, W, out_channels)
+        return acc[:, :H].reshape(D, H, W, out_channels)
 
     def chunk_body(acc, chunk):
         chunk_starts, chunk_mask = chunk

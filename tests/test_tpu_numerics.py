@@ -209,6 +209,33 @@ def test_conv_down2_matches_xla_hw():
         assert _rel_err(got, np.asarray(ref, np.float32)) < 2e-2
 
 
+@pytest.mark.parametrize("mode", ["gaussian", "constant"])
+def test_blend_scatter_kernel_matches_xla_hw(monkeypatch, mode):
+    """Roll-only blend-scatter kernel (in-place aliased canvas RMW +
+    dynamic lane roll) == the XLA lane-folded scan on real hardware —
+    the v1 design passed interpret/CPU but crashed the Mosaic DMA
+    engine, so HW coverage is the whole point of this test."""
+    from anatomix_tpu.ops.sliding_window import sliding_window_inference
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(
+        rng.standard_normal((1, 64, 64, 64, 16)).astype(np.float32)
+    )
+
+    def apply_fn(w):
+        return w * 2.0 + 1.0
+
+    kw = dict(
+        out_channels=16, roi_size=(32, 32, 32), sw_batch_size=4,
+        overlap=0.5, mode=mode,
+    )
+    monkeypatch.setenv("ANATOMIX_SCATTER_KERNEL", "0")
+    ref = np.asarray(sliding_window_inference(vol, apply_fn, **kw))
+    monkeypatch.setenv("ANATOMIX_SCATTER_KERNEL", "1")
+    got = np.asarray(sliding_window_inference(vol, apply_fn, **kw))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
 def test_d2s_fused_sub_matches_hw():
     """depth_to_space with the fused per-lane subtract + f32 cast == plain
     d2s minus the broadcast offset (the ViT demean fusion), on HW."""

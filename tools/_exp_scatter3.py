@@ -39,18 +39,17 @@ def main():
 
     # --- isolated RMW timing at the 128-window scale ------------------
     from anatomix_tpu.ops.pallas.scatter import (
-        blend_scatter_chunk, fold_tables,
+        blend_scatter_chunk, lane_tables,
     )
     from anatomix_tpu.ops.sliding_window import gaussian_importance_axes
     from anatomix_tpu.utils.benchtools import dispatch_floor
     import time
 
-    C, fold, R = 16, 8, 128
+    C, R = 16, 128
     axes, minv = gaussian_importance_axes((R, R, R))
-    gdh_np, gwf_np, valid_np = fold_tables(axes, minv, fold, C)
+    gdh_np, gw_np = lane_tables(axes, C)
     gdh = jnp.asarray(gdh_np)
-    gwf = jnp.asarray(gwf_np)
-    validt = jnp.asarray(valid_np)
+    gw = jnp.asarray(gw_np)
     NW = 32
     D = 256
     starts = jnp.asarray(
@@ -67,19 +66,19 @@ def main():
         def body(acc, xs):
             s, o, m = xs
             return blend_scatter_chunk(
-                acc, o[None], s[None], m[None], gdh, gwf, validt,
-                fold=fold, C=C, minv=float(minv),
+                acc, o[None], s[None], m[None], gdh, gw,
+                C=C, minv=float(minv),
             ), None
         acc, _ = jax.lax.scan(body, canvas, (starts, prod, mask))
         return acc
 
-    canvas = jnp.zeros((D, D, D // fold + 1, 128), jnp.float32)
+    canvas = jnp.zeros((D, D, D * C), jnp.float32)
     r = run(canvas, prod, starts, mask)
     _ = float(jnp.sum(r[:1, :1]))
     floor = dispatch_floor()
     ts = []
     for _rep in range(3):
-        canvas = jnp.zeros((D, D, D // fold + 1, 128), jnp.float32)
+        canvas = jnp.zeros((D, D, D * C), jnp.float32)
         t0 = time.perf_counter()
         r = run(canvas, prod, starts, mask)
         _ = float(jnp.sum(r[:1, :1]))
