@@ -95,6 +95,134 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     write.wait()
 
 
+def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref,
+                 gw_ref, out_ref, slab, sems, *, td, r1, M, Mr, C, minv):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    s0 = starts_ref[b, 0]
+    s1 = starts_ref[b, 1]
+    s2 = starts_ref[b, 2]
+
+    read = pltpu.make_async_copy(
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :, :],
+        slab,
+        sems.at[0],
+    )
+    read.start()
+
+    p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, Mr, 128)
+    # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
+    # resurrect padding windows wherever the clamp floor is nonzero
+    w = jnp.maximum(
+        gdh_ref[...].astype(jnp.float32)[:, :, None, None]
+        * gw_ref[0][None, None, :, :],
+        minv,
+    ) * mask_ref[b].astype(jnp.float32)
+    pw = p32 * w
+    padded = jnp.pad(pw, ((0, 0), (0, 0), (0, M - Mr), (0, 0)))
+    # flat roll of the (M, 128) raster by k = s2*C: lane roll by k%128,
+    # then rows whose lanes wrapped take the one-extra sublane roll
+    k = s2 * C
+    r = k % 128
+    q = k // 128
+    t1 = pltpu.roll(padded, r, axis=3)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t1.shape, 3)
+    rolled = jnp.where(
+        lane >= r,
+        pltpu.roll(t1, q, axis=2),
+        pltpu.roll(t1, q + 1, axis=2),
+    )
+
+    read.wait()
+    slab[...] += rolled
+    write = pltpu.make_async_copy(
+        slab,
+        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :, :],
+        sems.at[1],
+    )
+    write.start()
+    write.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "minv", "interpret")
+)
+def blend_scatter_fold(
+    canvas: jax.Array,   # (D, H, W*C/128, 128) f32 folded accumulator
+    prod: jax.Array,     # (B, r0, r1, r2*C/128, 128) window outputs
+    starts: jax.Array,   # (B, 3) int32 window starts (in-bounds)
+    mask: jax.Array,     # (B,) int32 1 = real window, 0 = padding
+    gdh: jax.Array,      # (r0, r1) f32 separable blend factor
+    gw: jax.Array,       # (r2*C/128, 128) f32 folded w blend factor
+    *,
+    C: int,
+    minv: float,
+    interpret: bool = False,
+) -> jax.Array:
+    """Folded-canvas variant of `blend_scatter_chunk` (v4): the canvas
+    keeps the flat (W*C) row folded into (M, 128) so BOTH dynamically
+    sliced dims (d, h) are untiled — the probe-proven DMA pattern, with
+    no sublane-alignment games. The window's flat w-offset k = s2*C
+    becomes a lane roll by k%128 plus a per-lane-selected sublane roll
+    by k//128 (+1 for wrapped lanes); starts are in-bounds so nothing
+    escapes the raster."""
+    B, r0, r1, Mr, lanes = prod.shape
+    D, H, M, lanes_c = canvas.shape
+    assert lanes == 128 and lanes_c == 128
+
+    td = r0
+    while td > 1 and (
+        r0 % td
+        or (3 * td * r1 * M * 128 * 4 + 2 * td * r1 * Mr * 128
+            * (prod.dtype.itemsize + 4))
+        > 30 * 2 ** 20
+    ):
+        td //= 2
+
+    kernel = functools.partial(
+        _kernel_fold, td=td, r1=r1, M=M, Mr=Mr, C=C, minv=minv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, r0 // td),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # canvas (aliased)
+            pl.BlockSpec(
+                (1, td, r1, Mr, 128), lambda b, i, *_: (b, i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (td, r1), lambda b, i, *_: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Mr, 128), lambda b, i, *_: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((td, r1, M, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
+        input_output_aliases={2: 0},  # flat inputs: starts, mask, canvas
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * r0 * r1 * Mr * 128,
+            bytes_accessed=2 * B * r0 * r1 * M * 128 * 4 + prod.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(starts, mask, canvas, prod, gdh, gw[None])
+
+
 @functools.partial(
     jax.jit, static_argnames=("C", "minv", "interpret")
 )

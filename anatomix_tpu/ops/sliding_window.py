@@ -190,19 +190,22 @@ def _scan_windows(
         imp_factors is not None
         and acc_dtype == jnp.float32
         and (W * out_channels) % 128 == 0
+        and (r2 * out_channels) % 128 == 0
         and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
         and (jax.default_backend() not in ("cpu",) or interpret)
     )
     if use_kernel:
         from anatomix_tpu.ops.pallas.scatter import (
-            blend_scatter_chunk, lane_tables,
+            blend_scatter_fold, lane_tables,
         )
 
         g_axes, minv = imp_factors
         gdh_np, gw_np = lane_tables(g_axes, out_channels)
         gdh = jnp.asarray(gdh_np)
-        gw = jnp.asarray(gw_np)
-        acc0 = jnp.zeros((D, H + 8, W * out_channels), acc_dtype)
+        Mr = r2 * out_channels // 128
+        gw = jnp.asarray(gw_np).reshape(Mr, 128)
+        M = W * out_channels // 128
+        acc0 = jnp.zeros((D, H, M, 128), acc_dtype)
         if vary_axis is not None:
             acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
@@ -210,8 +213,8 @@ def _scan_windows(
             chunk_starts, chunk_mask = chunk
             windows = jax.vmap(slice_window)(chunk_starts)
             out = apply_fn(windows)  # (B, r0, r1, r2, out_channels)
-            prod = out.reshape(out.shape[0], r0, r1, r2 * out_channels)
-            acc = blend_scatter_chunk(
+            prod = out.reshape(out.shape[0], r0, r1, Mr, 128)
+            acc = blend_scatter_fold(
                 acc, prod, chunk_starts, chunk_mask.astype(jnp.int32),
                 gdh, gw, C=out_channels, minv=float(minv),
                 interpret=interpret,
@@ -226,7 +229,7 @@ def _scan_windows(
                 mask.reshape(n_chunks, sw_batch_size),
             ),
         )
-        return acc[:, :H].reshape(D, H, W, out_channels)
+        return acc.reshape(D, H, W, out_channels)
 
     def chunk_body(acc, chunk):
         chunk_starts, chunk_mask = chunk
