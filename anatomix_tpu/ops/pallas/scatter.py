@@ -69,10 +69,15 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     read.start()
 
     p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, r2*C)
+    # gdh arrives as the FULL (r0, r1) block (a (td, r1) BlockSpec would
+    # violate the 8-sublane block rule once VMEM pressure shrinks td);
+    # bring rows [i*td, +td) to the front with a roll + static slice
+    r0 = gdh_ref.shape[0]
+    g = pltpu.roll(gdh_ref[...], r0 - i * td, axis=0)[:td]
     # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
     # resurrect padding windows wherever the clamp floor is nonzero
     w = jnp.maximum(
-        gdh_ref[...].astype(jnp.float32)[:, :, None]
+        g.astype(jnp.float32)[:, :, None]
         * gw_ref[0][None, None, :],
         minv,
     ) * mask_ref[b].astype(jnp.float32)
@@ -111,10 +116,15 @@ def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref,
     read.start()
 
     p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, Mr, 128)
+    # gdh arrives as the FULL (r0, r1) block (a (td, r1) BlockSpec would
+    # violate the 8-sublane block rule once VMEM pressure shrinks td);
+    # bring rows [i*td, +td) to the front with a roll + static slice
+    r0 = gdh_ref.shape[0]
+    g = pltpu.roll(gdh_ref[...], r0 - i * td, axis=0)[:td]
     # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
     # resurrect padding windows wherever the clamp floor is nonzero
     w = jnp.maximum(
-        gdh_ref[...].astype(jnp.float32)[:, :, None, None]
+        g.astype(jnp.float32)[:, :, None, None]
         * gw_ref[0][None, None, :, :],
         minv,
     ) * mask_ref[b].astype(jnp.float32)
@@ -192,7 +202,7 @@ def blend_scatter_fold(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (td, r1), lambda b, i, *_: (i, 0),
+                (r0, r1), lambda b, i, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -268,7 +278,7 @@ def blend_scatter_chunk(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (td, r1), lambda b, i, *_: (i, 0),
+                (r0, r1), lambda b, i, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

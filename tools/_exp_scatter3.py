@@ -39,7 +39,7 @@ def main():
 
     # --- isolated RMW timing at the 128-window scale ------------------
     from anatomix_tpu.ops.pallas.scatter import (
-        blend_scatter_chunk, lane_tables,
+        blend_scatter_fold, lane_tables,
     )
     from anatomix_tpu.ops.sliding_window import gaussian_importance_axes
     from anatomix_tpu.utils.benchtools import dispatch_floor
@@ -49,15 +49,17 @@ def main():
     axes, minv = gaussian_importance_axes((R, R, R))
     gdh_np, gw_np = lane_tables(axes, C)
     gdh = jnp.asarray(gdh_np)
-    gw = jnp.asarray(gw_np)
+    Mr = R * C // 128
+    gw = jnp.asarray(gw_np).reshape(Mr, 128)
     NW = 32
     D = 256
+    M = D * C // 128
     starts = jnp.asarray(
         np.stack([rng.integers(0, D - R, NW) for _ in range(3)], 1)
         .astype(np.int32)
     )
     prod = jnp.asarray(
-        rng.standard_normal((NW, R, R, R * C)).astype(np.float32)
+        rng.standard_normal((NW, R, R, Mr, 128)).astype(np.float32)
     ).astype(jnp.bfloat16)
     mask = jnp.ones((NW,), jnp.int32)
 
@@ -65,20 +67,20 @@ def main():
     def run(canvas, prod, starts, mask):
         def body(acc, xs):
             s, o, m = xs
-            return blend_scatter_chunk(
+            return blend_scatter_fold(
                 acc, o[None], s[None], m[None], gdh, gw,
                 C=C, minv=float(minv),
             ), None
         acc, _ = jax.lax.scan(body, canvas, (starts, prod, mask))
         return acc
 
-    canvas = jnp.zeros((D, D, D * C), jnp.float32)
+    canvas = jnp.zeros((D, D, M, 128), jnp.float32)
     r = run(canvas, prod, starts, mask)
     _ = float(jnp.sum(r[:1, :1]))
     floor = dispatch_floor()
     ts = []
     for _rep in range(3):
-        canvas = jnp.zeros((D, D, D * C), jnp.float32)
+        canvas = jnp.zeros((D, D, M, 128), jnp.float32)
         t0 = time.perf_counter()
         r = run(canvas, prod, starts, mask)
         _ = float(jnp.sum(r[:1, :1]))
