@@ -226,9 +226,23 @@ def make_feature_extractor(
         # the remote-compile payload and large models exceed its size limit
         @jax.jit
         def extract_vit_impl(volume, p):
+            from anatomix_tpu.ops.sliding_window import (
+                scatter_kernel_eligible,
+            )
+
+            # emit the folded flat-lane window form straight from the
+            # decoder exit kernel when the scatter kernel will stitch it
+            # (zero XLA relayouts between model exit and canvas RMW)
+            emit = "fold" if scatter_kernel_eligible(
+                max(volume.shape[3], vit_cfg.input_shape[2]),
+                vit_cfg.input_shape[2],
+                vit_cfg.num_classes,
+            ) else "spatial"
+
             def vit_window_fn(windows):
                 return primus_apply(
-                    vit_cfg, p, windows, compute_dtype=compute_dtype
+                    vit_cfg, p, windows, compute_dtype=compute_dtype,
+                    emit=emit,
                 )
 
             return sliding_window_inference(
@@ -290,7 +304,7 @@ def make_feature_extractor(
 
     # split static packed metadata (python scalars) from array leaves so
     # params can travel as a jit argument (see ViT note above)
-    def window_fn(p, windows, in_tile_counts=None):
+    def window_fn(p, windows, in_tile_counts=None, emit="spatial"):
         if conv_impl == "pallas_fused":
             from anatomix_tpu.models.unet_fused import unet_apply_fused
 
@@ -298,7 +312,10 @@ def make_feature_extractor(
                 plan, p, windows,
                 compute_dtype=compute_dtype or jnp.bfloat16,
                 in_tile_counts=in_tile_counts,
+                emit=emit,
             )
+        # non-fused impls always emit spatial windows; the sliding
+        # scatter-kernel path reshapes them itself
         return unet_apply(
             plan, p, windows, compute_dtype=compute_dtype,
             conv_impl=conv_impl, in_tile_counts=in_tile_counts,
@@ -356,10 +373,17 @@ def make_feature_extractor(
 
     @jax.jit
     def extract_sliding_impl(volume, arrs):
+        from anatomix_tpu.ops.sliding_window import (
+            scatter_kernel_eligible,
+        )
+
         p = combine(arrs)
+        emit = "fold" if scatter_kernel_eligible(
+            max(volume.shape[3], roi_size[2]), roi_size[2], out_channels
+        ) else "spatial"
         return sliding_window_inference(
             volume,
-            lambda windows: window_fn(p, windows),
+            lambda windows: window_fn(p, windows, emit=emit),
             out_channels,
             roi_size=roi_size,
             sw_batch_size=sw_batch_size or 2,

@@ -361,11 +361,19 @@ def unet_apply_fused(
     compute_dtype=jnp.bfloat16,
     interpret: bool = False,
     in_tile_counts: tuple[int, int, int] | None = None,
+    emit: str = "spatial",
 ) -> jax.Array:
     """Inference forward in whole-level block-space layout. Params must
     come from `prepack_fused` on BN-folded weights (batch norm) or raw
     weights (live instance norms). `in_tile_counts` switches live instance
-    norms to per-spatial-tile statistics (the 'full_tiled' strategy)."""
+    norms to per-spatial-tile statistics (the 'full_tiled' strategy).
+
+    `emit='fold'` returns the output as folded flat-lane rows
+    (B, D, H, W*C/128, 128) — the exact form the sliding-window scatter
+    kernel consumes — produced straight from block space by
+    `reshuffle.depth_to_space_fold` with zero XLA relayouts (caller must
+    guarantee (W*C) %% 128 == 0, see
+    `sliding_window.scatter_kernel_eligible`)."""
     cfg = plan.config
     if not supports_fusion(cfg):
         raise ValueError("config not supported by the fused path")
@@ -548,6 +556,20 @@ def unet_apply_fused(
             if idx in plan.encoder_idx:
                 enc_feats.append((feat, in_block))
 
+    if emit == "fold":
+        from anatomix_tpu.ops.pallas.reshuffle import (
+            depth_to_space_fold,
+            fold_supported,
+        )
+
+        if in_block and feat.shape[-1] // 8 >= 8 and fold_supported(
+            feat.shape[-1] // 8, feat.shape[3]
+        ):
+            return depth_to_space_fold(feat, interpret=interpret)
+        if in_block:
+            feat = _d2s(feat, interpret)
+        B_, D_, H_, W_, C_ = feat.shape
+        return feat.reshape(B_, D_, H_, (W_ * C_) // 128, 128)
     if in_block:
         feat = _d2s(feat, interpret)
     return feat

@@ -662,7 +662,7 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
 
 
 def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
-             interpret=False):
+             interpret=False, emit="spatial"):
     """Transposed-conv ×2 stages back to full resolution.
 
     A stride-2 kernel-2 transposed conv has non-overlapping windows, so
@@ -675,9 +675,17 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
     on the SMALL pre-d2s block tensor, with the subtract + f32 cast fused
     into the exit reshuffle — the separate full-res f32 materialize /
     reduce / sub chain was ~3 ms of the 36.8 ms round-3 ViT trace.
-    Returns (volume, demeaned: bool)."""
+    With `emit='fold'` the final stage returns the folded flat-lane form
+    (B, D, H, W*C/128, 128) for the sliding-window scatter kernel
+    (`reshuffle.depth_to_space_fold` — no full-res narrow-C tensor is
+    ever materialized). Returns (volume, demeaned: bool, folded: bool).
+    """
     from anatomix_tpu.ops.pallas.conv3x3 import _depth_to_space
     from anatomix_tpu.ops.pallas.reshuffle import depth_to_space as _d2s
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space_fold,
+        fold_supported,
+    )
 
     on_tpu = jax.default_backend() not in ("cpu",) or interpret
     y = grid
@@ -696,9 +704,15 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
             B = yb.shape[0]
             m8 = jnp.mean(yb.astype(jnp.float32), axis=(1, 2, 3))
             m = m8.reshape(B, 8, co).mean(axis=1)  # (B, C) spatial mean
+            if emit == "fold" and fold_supported(co, yb.shape[3]):
+                y = depth_to_space_fold(
+                    yb, sub=jnp.tile(m, (1, 8)),
+                    out_dtype=jnp.float32, interpret=interpret,
+                )
+                return y, True, True
             y = _d2s(yb, sub=jnp.tile(m, (1, 8)),
                      out_dtype=jnp.float32, interpret=interpret)
-            return y, True
+            return y, True, False
         # stay in compute dtype between stages: materializing the d2s
         # output in f32 cost ~4.3 ms of pure HBM traffic at the 128³ stage
         # (trace r3); the inter-stage LayerNorm computes its statistics in
@@ -710,7 +724,7 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
             y = y + p["b"].astype(y.dtype)
         if i < n - 1:
             y = jax.nn.gelu(channel_layer_norm(y, eps=1e-6))
-    return y.astype(jnp.float32), False
+    return y.astype(jnp.float32), False, False
 
 
 def primus_apply(
@@ -722,6 +736,7 @@ def primus_apply(
     encode_only: bool = False,
     compute_dtype=None,
     tokenizer_impl: str = "auto",
+    emit: str = "spatial",
 ):
     """Forward pass with the anatomix pretraining interface
     (`architectures.py:126-165`): plain -> normalized volume; `layers`
@@ -789,15 +804,22 @@ def primus_apply(
     mode = cfg.out_norm
     if isinstance(mode, bool):
         mode = "instance" if mode else "none"
-    volume, demeaned = _decoder(
+    volume, demeaned, folded = _decoder(
         cfg, params["decoder"], grid, compute_dtype=compute_dtype,
         fuse_demean=(mode or "none").lower() in ("demean", "center"),
+        emit=emit,
     )
     if demeaned:
         output = volume
     else:
         out_norm = build_out_norm(cfg.out_norm, cfg.out_norm_eps)
         output = out_norm(volume)
+
+    if emit == "fold" and not folded:
+        # fallback: fold via an XLA reshape (caller guaranteed
+        # (W*C) % 128 == 0 via scatter_kernel_eligible)
+        B_, D_, H_, W_, C_ = output.shape
+        output = output.reshape(B_, D_, H_, (W_ * C_) // 128, 128)
 
     if layers:
         features = [output]

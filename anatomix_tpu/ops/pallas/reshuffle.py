@@ -157,6 +157,124 @@ def depth_to_space(
     return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
+def _d2s_fold_kernel(y_ref, out_ref, *, C: int, g: int):
+    # (td, th, w, 8C) -> (td, 2, th, 2, w/g, g*2C=128): per (a, b) plane,
+    # pack g w-positions' 2C-lane fields into one full 128-lane row via
+    # strided REF loads + lane concat. No reshape primitive (Mosaic
+    # rejects in-kernel minor-dim merges) and no value-level strided
+    # slicing (lowers to an unsupported >2D gather) —
+    # tools/_exp_repack.py + _exp_pack2.py.
+    for a in range(2):
+        for b in range(2):
+            s = (a * 2 + b) * 2 * C
+            out_ref[:, a, :, b] = jnp.concatenate(
+                [y_ref[:, :, t::g, s: s + 2 * C] for t in range(g)],
+                axis=-1,
+            )
+
+
+def _d2s_fold_sub_kernel(y_ref, s_ref, out_ref, *, C: int, g: int):
+    for a in range(2):
+        for b in range(2):
+            s = (a * 2 + b) * 2 * C
+            out_ref[:, a, :, b] = jnp.concatenate(
+                [
+                    (
+                        y_ref[:, :, t::g, s: s + 2 * C]
+                        .astype(jnp.float32)
+                        - s_ref[0, s: s + 2 * C]
+                    ).astype(out_ref.dtype)
+                    for t in range(g)
+                ],
+                axis=-1,
+            )
+
+
+def fold_supported(C: int, w: int) -> bool:
+    """depth_to_space_fold eligibility: the packed row must be whole
+    128-lane groups."""
+    g = 128 // (2 * C) if 2 * C <= 128 and 128 % (2 * C) == 0 else 0
+    return g > 0 and w % max(g, 1) == 0
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "out_dtype")
+)
+def depth_to_space_fold(
+    y: jax.Array,
+    *,
+    sub: jax.Array | None = None,  # (B, 8C) f32 per-lane offset (demean)
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Block layout (B, d, h, w, 8C) -> folded flat rows
+    (B, 2d, 2h, 2w*C/128, 128).
+
+    The folded form is `depth_to_space(y).reshape(B, 2d, 2h, -1, 128)`
+    with zero XLA relayouts: per output row the (w, 2C) minor merge is
+    done in-VMEM (strided sublane slices + lane concat), and the result
+    is exactly the layout `ops.pallas.scatter.blend_scatter_fold`
+    consumes — the model exit feeds sliding-window stitching without
+    ever materializing a narrow-C spatial tensor."""
+    B, d, h, w, c8 = y.shape
+    C = c8 // 8
+    g = 128 // (2 * C)
+    if not fold_supported(C, w):
+        raise ValueError(f"fold unsupported for C={C}, w={w}")
+    out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    td, th = _pick_tile_2d(
+        d, h, w, C,
+        max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize),
+    )
+    if sub is None:
+        kernel = functools.partial(_d2s_fold_kernel, C=C, g=g)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        kernel = functools.partial(_d2s_fold_sub_kernel, C=C, g=g)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c8), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    def one(v, *rest):
+        out6 = pl.pallas_call(
+            kernel,
+            grid=(d // td, h // th),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (td, 2, th, 2, w // g, 128),
+                lambda i, j: (i, 0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (d, 2, h, 2, w // g, 128), out_dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(v, *rest)
+        # major-dim merges only: free
+        return out6.reshape(2 * d, 2 * h, w // g, 128)
+
+    if sub is None:
+        return jax.vmap(one)(y)
+    return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def space_to_depth(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     """(B, 2d, 2h, 2w, C) -> block layout (B, d, h, w, 8C)."""

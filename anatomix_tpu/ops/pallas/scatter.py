@@ -100,8 +100,14 @@ def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
     write.wait()
 
 
-def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref,
-                 gw_ref, out_ref, slab, sems, *, td, r1, M, Mr, C, minv):
+def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdht_ref,
+                 gw_ref, out_ref, slab, sems, *, r1, M, Mr, C, minv):
+    # ALL value compute is rank-3 (grid walks d-rows, td == 1): rank-4
+    # broadcasts/casts are unsupported Mosaic shape casts (wave-17
+    # 'infer-vector-layout: unsupported shape cast'); every op below is
+    # in the class the v3 kernel already compiled AND ran on HW —
+    # rank-3 trailing-unit broadcasts, jnp.pad, dynamic lane/sublane
+    # pltpu.roll, iota + where selects.
     b = pl.program_id(0)
     i = pl.program_id(1)
     s0 = starts_ref[b, 0]
@@ -109,45 +115,43 @@ def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref,
     s2 = starts_ref[b, 2]
 
     read = pltpu.make_async_copy(
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :, :],
+        out_ref.at[pl.ds(s0 + i, 1), pl.ds(s1, r1), :, :],
         slab,
         sems.at[0],
     )
     read.start()
 
-    p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, Mr, 128)
-    # gdh arrives as the FULL (r0, r1) block (a (td, r1) BlockSpec would
-    # violate the 8-sublane block rule once VMEM pressure shrinks td);
-    # bring rows [i*td, +td) to the front with a roll + static slice
-    r0 = gdh_ref.shape[0]
-    g = pltpu.roll(gdh_ref[...], r0 - i * td, axis=0)[:td]
+    p32 = prod_ref[0, 0].astype(jnp.float32)  # (r1, Mr, 128)
+    # gdh is stored TRANSPOSED (r1, r0); column i comes to the front
+    # with a dynamic lane roll + static slice (rank-preserving)
+    r0 = gdht_ref.shape[1]
+    g = pltpu.roll(gdht_ref[...], r0 - i, axis=1)[:, :1]  # (r1, 1)
     # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
     # resurrect padding windows wherever the clamp floor is nonzero
     w = jnp.maximum(
-        g.astype(jnp.float32)[:, :, None, None]
-        * gw_ref[0][None, None, :, :],
+        g.astype(jnp.float32)[:, :, None] * gw_ref[...],
         minv,
     ) * mask_ref[b].astype(jnp.float32)
     pw = p32 * w
-    padded = jnp.pad(pw, ((0, 0), (0, 0), (0, M - Mr), (0, 0)))
+    padded = jnp.pad(pw, ((0, 0), (0, M - Mr), (0, 0)))
     # flat roll of the (M, 128) raster by k = s2*C: lane roll by k%128,
-    # then rows whose lanes wrapped take the one-extra sublane roll
+    # then lanes that wrapped take one extra sublane-roll step
     k = s2 * C
     r = k % 128
     q = k // 128
-    t1 = pltpu.roll(padded, r, axis=3)
-    lane = jax.lax.broadcasted_iota(jnp.int32, t1.shape, 3)
+    t1 = pltpu.roll(padded, r, axis=2)
+    lane = jax.lax.broadcasted_iota(jnp.int32, t1.shape, 2)
     rolled = jnp.where(
         lane >= r,
-        pltpu.roll(t1, q, axis=2),
-        pltpu.roll(t1, q + 1, axis=2),
+        pltpu.roll(t1, q, axis=1),
+        pltpu.roll(t1, q + 1, axis=1),
     )
 
     read.wait()
-    slab[...] += rolled
+    slab[0] += rolled
     write = pltpu.make_async_copy(
         slab,
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1, r1), :, :],
+        out_ref.at[pl.ds(s0 + i, 1), pl.ds(s1, r1), :, :],
         sems.at[1],
     )
     write.start()
@@ -169,40 +173,32 @@ def blend_scatter_fold(
     minv: float,
     interpret: bool = False,
 ) -> jax.Array:
-    """Folded-canvas variant of `blend_scatter_chunk` (v4): the canvas
-    keeps the flat (W*C) row folded into (M, 128) so BOTH dynamically
-    sliced dims (d, h) are untiled — the probe-proven DMA pattern, with
-    no sublane-alignment games. The window's flat w-offset k = s2*C
-    becomes a lane roll by k%128 plus a per-lane-selected sublane roll
-    by k//128 (+1 for wrapped lanes); starts are in-bounds so nothing
-    escapes the raster."""
+    """Folded-canvas blend scatter (v5): the canvas keeps the flat (W*C)
+    row folded into (M, 128) so BOTH dynamically sliced dims (d, h) are
+    untiled — the probe-proven DMA pattern, with no sublane-alignment
+    games. The window's flat w-offset k = s2*C becomes a lane roll by
+    k%128 plus a per-lane-selected sublane roll by k//128 (+1 for
+    wrapped lanes); starts are in-bounds so nothing escapes the raster.
+    The grid walks (window, d-row) so every value in the kernel body is
+    rank-3 (rank-4 broadcasts are unsupported Mosaic shape casts)."""
     B, r0, r1, Mr, lanes = prod.shape
     D, H, M, lanes_c = canvas.shape
     assert lanes == 128 and lanes_c == 128
 
-    td = r0
-    while td > 1 and (
-        r0 % td
-        or (3 * td * r1 * M * 128 * 4 + 2 * td * r1 * Mr * 128
-            * (prod.dtype.itemsize + 4))
-        > 30 * 2 ** 20
-    ):
-        td //= 2
-
     kernel = functools.partial(
-        _kernel_fold, td=td, r1=r1, M=M, Mr=Mr, C=C, minv=minv,
+        _kernel_fold, r1=r1, M=M, Mr=Mr, C=C, minv=minv,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(B, r0 // td),
+        grid=(B, r0),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # canvas (aliased)
             pl.BlockSpec(
-                (1, td, r1, Mr, 128), lambda b, i, *_: (b, i, 0, 0, 0),
+                (1, 1, r1, Mr, 128), lambda b, i, *_: (b, i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (r0, r1), lambda b, i, *_: (0, 0),
+                (r1, r0), lambda b, i, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -212,7 +208,7 @@ def blend_scatter_fold(
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((td, r1, M, 128), jnp.float32),
+            pltpu.VMEM((1, r1, M, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -230,7 +226,7 @@ def blend_scatter_fold(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(starts, mask, canvas, prod, gdh, gw[None])
+    )(starts, mask, canvas, prod, jnp.swapaxes(gdh, 0, 1), gw[None])
 
 
 @functools.partial(

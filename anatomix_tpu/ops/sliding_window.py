@@ -133,6 +133,26 @@ def _pad_to_roi(volume, roi_size):
     return volume, crops
 
 
+def scatter_kernel_eligible(
+    W: int,
+    r2: int,
+    out_channels: int,
+    acc_dtype=jnp.float32,
+    interpret: bool = False,
+) -> bool:
+    """True when the Pallas blend-scatter kernel path will be used for
+    these shapes (given gaussian/constant blending). Model exits use
+    this to decide whether to emit the folded (…, r2*C/128, 128) window
+    form directly (`reshuffle.depth_to_space_fold`)."""
+    return (
+        acc_dtype == jnp.float32
+        and (W * out_channels) % 128 == 0
+        and (r2 * out_channels) % 128 == 0
+        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
+        and (jax.default_backend() not in ("cpu",) or interpret)
+    )
+
+
 def _scan_windows(
     volume3d: jax.Array,  # (D, H, W, C) padded
     starts: jax.Array,  # (M, 3) int32, chunk-padded
@@ -186,13 +206,8 @@ def _scan_windows(
     # separable blend factors, f32 accumulator, 128-divisible folded
     # width, and a TPU. DEFAULT OFF until HW-validated; opt in with
     # ANATOMIX_SCATTER_KERNEL=1.
-    use_kernel = (
-        imp_factors is not None
-        and acc_dtype == jnp.float32
-        and (W * out_channels) % 128 == 0
-        and (r2 * out_channels) % 128 == 0
-        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
-        and (jax.default_backend() not in ("cpu",) or interpret)
+    use_kernel = imp_factors is not None and scatter_kernel_eligible(
+        W, r2, out_channels, acc_dtype, interpret
     )
     if use_kernel:
         from anatomix_tpu.ops.pallas.scatter import (
@@ -212,7 +227,12 @@ def _scan_windows(
         def chunk_body_kernel(acc, chunk):
             chunk_starts, chunk_mask = chunk
             windows = jax.vmap(slice_window)(chunk_starts)
-            out = apply_fn(windows)  # (B, r0, r1, r2, out_channels)
+            # apply_fn may return the plain (B, r0, r1, r2, C) window or
+            # the pre-folded (B, r0, r1, r2*C/128, 128) form straight
+            # from the model's exit kernel (depth_to_space_fold) — the
+            # two are the same flat row, so the reshape is a no-op for
+            # pre-folded outputs and an XLA relayout otherwise
+            out = apply_fn(windows)
             prod = out.reshape(out.shape[0], r0, r1, Mr, 128)
             acc = blend_scatter_fold(
                 acc, prod, chunk_starts, chunk_mask.astype(jnp.int32),
@@ -235,6 +255,11 @@ def _scan_windows(
         chunk_starts, chunk_mask = chunk
         windows = jax.vmap(slice_window)(chunk_starts)
         out = apply_fn(windows)  # (B, r, r, r, out_channels)
+        if out.shape[2:] != (r1, r2, out_channels):
+            # pre-folded exit on the non-kernel path: unfold (safety net
+            # for gate mismatches; extract uses scatter_kernel_eligible
+            # so this normally never triggers)
+            out = out.reshape(out.shape[0], r0, r1, r2, out_channels)
         impf = imp.astype(acc_dtype)
 
         def scatter_one(a, s_o_m):

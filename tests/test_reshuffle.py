@@ -22,6 +22,83 @@ def test_reshuffle_roundtrip_and_parity(rng, C, B, D):
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.parametrize("C", [16, 32, 64])
+def test_depth_to_space_fold_matches_reshape(rng, C):
+    """Folded exit == depth_to_space + flat reshape (the scatter kernel's
+    input form), including the fused per-lane subtract variant."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space_fold,
+        fold_supported,
+    )
+
+    B, d = 1, 8
+    assert fold_supported(C, d)
+    y = jnp.asarray(
+        rng.standard_normal((B, d, d, d, 8 * C)).astype(np.float32)
+    )
+    want = np.asarray(depth_to_space(y, interpret=True)).reshape(
+        B, 2 * d, 2 * d, 2 * d * C // 128, 128
+    )
+    got = np.asarray(depth_to_space_fold(y, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+    sub = jnp.asarray(
+        rng.standard_normal((B, 8 * C)).astype(np.float32)
+    )
+    got_s = np.asarray(
+        depth_to_space_fold(
+            y, sub=sub, out_dtype=jnp.float32, interpret=True
+        )
+    )
+    want_s = np.asarray(
+        depth_to_space(
+            y, sub=sub, out_dtype=jnp.float32, interpret=True
+        )
+    ).reshape(B, 2 * d, 2 * d, 2 * d * C // 128, 128)
+    np.testing.assert_allclose(got_s, want_s, rtol=1e-6, atol=1e-6)
+
+
+def test_sliding_fold_exit_matches_spatial(rng):
+    """sliding_window kernel path with a pre-folded apply_fn == the same
+    model emitting spatial windows (both interpret mode)."""
+    import os
+
+    from anatomix_tpu.ops.pallas.reshuffle import depth_to_space_fold
+    from anatomix_tpu.ops.pallas.conv3x3 import _space_to_depth
+    from anatomix_tpu.ops.sliding_window import sliding_window_inference
+
+    C = 16
+    vol = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 64, C)).astype(np.float32)
+    )
+
+    def model_block(w):
+        # toy model ending in block space: s2d then elementwise
+        return _space_to_depth(jnp.tanh(w))
+
+    def apply_spatial(w):
+        from anatomix_tpu.ops.pallas.reshuffle import depth_to_space
+
+        return depth_to_space(model_block(w), interpret=True)
+
+    def apply_fold(w):
+        return depth_to_space_fold(model_block(w), interpret=True)
+
+    kw = dict(out_channels=C, roi_size=(16, 16, 32), sw_batch_size=2,
+              overlap=0.25, mode="gaussian", interpret=True)
+    old = os.environ.get("ANATOMIX_SCATTER_KERNEL")
+    os.environ["ANATOMIX_SCATTER_KERNEL"] = "1"
+    try:
+        a = np.asarray(sliding_window_inference(vol, apply_spatial, **kw))
+        b = np.asarray(sliding_window_inference(vol, apply_fold, **kw))
+    finally:
+        if old is None:
+            del os.environ["ANATOMIX_SCATTER_KERNEL"]
+        else:
+            os.environ["ANATOMIX_SCATTER_KERNEL"] = old
+    np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6)
+
+
 def test_reshuffle_vjps_are_adjoint(rng):
     from anatomix_tpu.ops.pallas.conv_block_train import (
         depth_to_space_vjp, space_to_depth_vjp,

@@ -256,7 +256,7 @@ def test_decoder_matches_torch_convtranspose():
         "b": jnp.asarray(tc.bias.detach().numpy()),
     }]
     xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
-    y, demeaned = _decoder(None, dec, xj, compute_dtype=jnp.float32)
+    y, demeaned, _folded = _decoder(None, dec, xj, compute_dtype=jnp.float32)
     assert not demeaned
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 4, 1, 2, 3), ref, atol=1e-5
@@ -287,10 +287,10 @@ def test_decoder_fused_demean_matches_reference():
     x = jnp.asarray(
         rng.standard_normal((2, 4, 4, 4, 24)).astype(np.float32)
     )
-    plain, d0 = _decoder(None, dec, x, compute_dtype=jnp.float32)
+    plain, d0, _f0 = _decoder(None, dec, x, compute_dtype=jnp.float32)
     assert not d0
     ref = channel_demean(plain)
-    fused, d1 = _decoder(None, dec, x, compute_dtype=jnp.float32,
+    fused, d1, _f1 = _decoder(None, dec, x, compute_dtype=jnp.float32,
                          fuse_demean=True, interpret=True)
     assert d1
     np.testing.assert_allclose(

@@ -68,10 +68,10 @@ def probe_pack(C=16):
     g = 128 // (2 * C)
 
     def kernel(x_ref, o_ref):
-        # (th, w, 2C) -> (th, w/g, 128)
-        v = x_ref[...]
+        # (th, w, 2C) -> (th, w/g, 128) — REF-level strided loads
+        # (value-level strided slices lower to unsupported >2D gathers)
         o_ref[...] = jnp.concatenate(
-            [v[:, t::g, :] for t in range(g)], axis=-1
+            [x_ref[:, t::g, :] for t in range(g)], axis=-1
         )
 
     th, w = 8, 64
@@ -91,62 +91,17 @@ def probe_pack(C=16):
 
 
 # ------------------------------------------------------------------ P3
-def _d2s_fold_kernel(y_ref, out_ref, *, C, g):
-    for a in range(2):
-        for b in range(2):
-            s = (a * 2 + b) * 2 * C
-            v = y_ref[..., s: s + 2 * C]  # (td, th, w, 2C)
-            out_ref[:, a, :, b] = jnp.concatenate(
-                [v[:, :, t::g, :] for t in range(g)], axis=-1
-            )
-
-
-def d2s_fold(y, *, C):
-    B, d, h, w, c8 = y.shape
-    g = 128 // (2 * C)
-    td, th = 8, 8
-    while d % td:
-        td //= 2
-    while h % th:
-        th //= 2
-    kern = functools.partial(_d2s_fold_kernel, C=C, g=g)
-
-    def one(v):
-        out6 = pl.pallas_call(
-            kern,
-            grid=(d // td, h // th),
-            in_specs=[
-                pl.BlockSpec((td, th, w, c8), lambda i, j: (i, j, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (td, 2, th, 2, w // g, 128),
-                lambda i, j: (i, 0, j, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            out_shape=jax.ShapeDtypeStruct(
-                (d, 2, h, 2, w // g, 128), v.dtype
-            ),
-            cost_estimate=pl.CostEstimate(
-                flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
-            ),
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 2 ** 20
-            ),
-            interpret=INTERPRET,
-        )(v)
-        return out6.reshape(2 * d, 2 * h, w // g, 128)
-
-    return jax.vmap(one)(y)
-
-
 def probe_d2s_fold(D=128, C=16):
+    from anatomix_tpu.ops.pallas.reshuffle import depth_to_space_fold
+
     d = D // 2
     y = jax.jit(lambda k: jax.random.normal(
         k, (1, d, d, d, 8 * C), jnp.bfloat16
     ))(jax.random.PRNGKey(0))
 
-    f = jax.jit(functools.partial(d2s_fold, C=C))
+    f = jax.jit(functools.partial(
+        depth_to_space_fold, interpret=INTERPRET
+    ))
     out = np.asarray(f(y), np.float32)
     ynp = np.asarray(y, np.float32)
     ref = (
