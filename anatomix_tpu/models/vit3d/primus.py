@@ -705,9 +705,14 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
             m8 = jnp.mean(yb.astype(jnp.float32), axis=(1, 2, 3))
             m = m8.reshape(B, 8, co).mean(axis=1)  # (B, C) spatial mean
             if emit == "fold" and fold_supported(co, yb.shape[3]):
+                # bf16 folded windows: the demean subtract still runs in
+                # f32 inside the kernel, and the sliding scatter
+                # accumulates in f32 — the bf16 hop halves the exit
+                # write + stitch read (same precision class as the UNet
+                # sliding path, whose window outputs are compute-dtype)
                 y = depth_to_space_fold(
                     yb, sub=jnp.tile(m, (1, 8)),
-                    out_dtype=jnp.float32, interpret=interpret,
+                    out_dtype=yb.dtype, interpret=interpret,
                 )
                 return y, True, True
             y = _d2s(yb, sub=jnp.tile(m, (1, 8)),

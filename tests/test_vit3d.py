@@ -297,6 +297,20 @@ def test_decoder_fused_demean_matches_reference():
         np.asarray(fused), np.asarray(ref), atol=2e-5
     )
 
+    # fold emit: same values in the folded flat-lane layout (the last
+    # stage has co=8 -> g=8, final block w=8, so the fold kernel runs)
+    folded, d2, f2 = _decoder(
+        None, dec, x, compute_dtype=jnp.float32, fuse_demean=True,
+        interpret=True, emit="fold",
+    )
+    assert d2 and f2
+    B, D, H, W, C = ref.shape
+    np.testing.assert_allclose(
+        np.asarray(folded, np.float32),
+        np.asarray(ref).reshape(B, D, H, W * C // 128, 128),
+        atol=2e-5,
+    )
+
 
 def test_flash_attention_matches_einsum():
     """The padded/segment-masked flash path equals plain softmax attention
