@@ -222,6 +222,12 @@ def depth_to_space_fold(
     if not fold_supported(C, w):
         raise ValueError(f"fold unsupported for C={C}, w={w}")
     out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    if y.dtype.itemsize < 4:
+        # Mosaic strided loads are 32-bit-only (wave-18 probe); the cast
+        # fuses into XLA producers (e.g. the ViT decoder GEMM emits its
+        # f32 accumulator directly), and costs one bandwidth pass after
+        # opaque Pallas producers
+        y = y.astype(jnp.float32)
     td, th = _pick_tile_2d(
         d, h, w, C,
         max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize),
