@@ -6,22 +6,30 @@ The XLA lane-folded scatter (ops/sliding_window.py `scatter_one`) costs
 chain itself, ~6x over its HBM traffic floor. This kernel does the
 read-modify-write near the traffic floor.
 
-Design (v3): the canvas is a 3-D (D, H+8, W*C) f32 tensor updated IN
-PLACE (input_output_aliases). The slab DMA slices dim 0 (untiled —
-arbitrary dynamic offsets are safe) and dim 1 at an 8-ALIGNED base
-`(s1 // 8) * 8` flagged with `pl.multiple_of` (dim 1 is the sublane-tiled
-dim of a 3-D memref, so Mosaic requires provably tile-aligned offsets —
-the v2 unaligned slice failed compile, and the v1 4-D design's dynamic
-sublane DMA crashed the worker outright; waves 10-15 bisect). The
-sub-tile h-offset phi = s1 - s1a in [0, 8) and the window's w placement
-both move the zero-padded weighted product in-register: a sublane roll
-by phi and a lane roll by s2*C (starts are in-bounds, so neither
-wraps). The canvas carries 8 slack rows on dim 1 so the aligned slab
-extent r1+8 never overruns; the caller slices them off. Blend weights
-apply BEFORE the rolls from separable factors (gdh = gd x gh outer
-product block, per-lane gw = repeat(g2, C)) with MONAI's
-max(imp, min_nonzero) clamp per element; masked padding windows
-multiply to zero after the clamp.
+Design (v5, the survivor of a five-design HW bisect): the canvas keeps
+each flat (W*C) row FOLDED as an (M, 128) raster, i.e. canvas
+(D, H, M, 128) f32 updated IN PLACE (input_output_aliases), so both
+dynamically sliced dims (d, h) are UNTILED — the one dynamic-offset DMA
+pattern proven safe on HW. The window's flat w-offset k = s2*C moves
+the zero-padded weighted product in-register: a lane roll by k%128 plus
+a per-lane-selected sublane roll by k//128 (+1 where lanes wrapped);
+starts are in-bounds so nothing escapes the raster. The grid walks
+(window, d-row) so every value in the kernel body is rank-3, and the
+gdh table arrives transposed + padded to roll-aligned extents. Blend
+weights apply BEFORE the rolls from separable factors (gdh = gd x gh
+outer product, folded per-lane gw) with MONAI's max(imp, min_nonzero)
+clamp per element; masked padding windows multiply to zero after the
+clamp.
+
+Dead ends, all probed on hardware (waves 10-18): v1 4-D slab with
+dynamic sublane DMA offsets — crashes the worker even 8-aligned; v2
+3-D flat-lane canvas — Mosaic refuses unaligned dynamic slices on the
+sublane-tiled dim; v3 8-aligned base + pl.multiple_of — worked, but its
+small-td gdh BlockSpec breaks the 8-sublane block rule at real scale;
+v4 rank-4 kernel values — 'infer-vector-layout: unsupported shape
+cast'. Also: value-level strided slices lower to unsupported >2D
+gathers (ref-level strided loads are fine, 32-bit only), and
+in-kernel minor-dim merge reshapes are unsupported.
 
 Reference semantics: MONAI sliding_window_inference gaussian blending
 (`convex_adam_utils.py:202-219`).
@@ -51,55 +59,6 @@ def lane_tables(imp_axes, C: int):
     return gdh, gw
 
 
-def _kernel(starts_ref, mask_ref, canvas_ref, prod_ref, gdh_ref, gw_ref,
-            out_ref, slab, sems, *, td, r1, L, C, minv):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    s0 = starts_ref[b, 0]
-    s1 = starts_ref[b, 1]
-    s2 = starts_ref[b, 2]
-    s1a = pl.multiple_of((s1 // 8) * 8, 8)
-    phi = s1 - s1a
-
-    read = pltpu.make_async_copy(
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1a, r1 + 8), :],
-        slab,
-        sems.at[0],
-    )
-    read.start()
-
-    p32 = prod_ref[0].astype(jnp.float32)  # (td, r1, r2*C)
-    # gdh arrives as the FULL (r0, r1) block (a (td, r1) BlockSpec would
-    # violate the 8-sublane block rule once VMEM pressure shrinks td);
-    # bring rows [i*td, +td) to the front with a roll + static slice
-    r0 = gdh_ref.shape[0]
-    g = pltpu.roll(gdh_ref[...], r0 - i * td, axis=0)[:td]
-    # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
-    # resurrect padding windows wherever the clamp floor is nonzero
-    w = jnp.maximum(
-        g.astype(jnp.float32)[:, :, None]
-        * gw_ref[0][None, None, :],
-        minv,
-    ) * mask_ref[b].astype(jnp.float32)
-    pw = p32 * w
-    padded = jnp.pad(
-        pw, ((0, 0), (0, 8), (0, L - pw.shape[-1]))
-    )
-    rolled = pltpu.roll(
-        pltpu.roll(padded, s2 * C, axis=2), phi, axis=1
-    )
-
-    read.wait()
-    slab[...] += rolled
-    write = pltpu.make_async_copy(
-        slab,
-        out_ref.at[pl.ds(s0 + i * td, td), pl.ds(s1a, r1 + 8), :],
-        sems.at[1],
-    )
-    write.start()
-    write.wait()
-
-
 def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdht_ref,
                  gw_ref, out_ref, slab, sems, *, r1, M, Mr, C, minv):
     # ALL value compute is rank-3 (grid walks d-rows, td == 1): rank-4
@@ -122,10 +81,11 @@ def _kernel_fold(starts_ref, mask_ref, canvas_ref, prod_ref, gdht_ref,
     read.start()
 
     p32 = prod_ref[0, 0].astype(jnp.float32)  # (r1, Mr, 128)
-    # gdh is stored TRANSPOSED (r1, r0); column i comes to the front
-    # with a dynamic lane roll + static slice (rank-preserving)
-    r0 = gdht_ref.shape[1]
-    g = pltpu.roll(gdht_ref[...], r0 - i, axis=1)[:, :1]  # (r1, 1)
+    # gdh is stored TRANSPOSED and zero-padded to (r1p>=8k, r0p=128k)
+    # (pltpu.roll rejects unaligned shapes); column i comes to the
+    # front with a dynamic lane roll + static slice (rank-preserving)
+    r0p = gdht_ref.shape[1]
+    g = pltpu.roll(gdht_ref[...], r0p - i, axis=1)[:r1, :1]  # (r1, 1)
     # mask multiplies AFTER the clamp: max(0 * gw, minv) = minv would
     # resurrect padding windows wherever the clamp floor is nonzero
     w = jnp.maximum(
@@ -185,6 +145,13 @@ def blend_scatter_fold(
     D, H, M, lanes_c = canvas.shape
     assert lanes == 128 and lanes_c == 128
 
+    # transpose + pad the blend table to roll-aligned extents
+    r0p = -(-r0 // 128) * 128
+    r1p = -(-r1 // 8) * 8
+    gdht = jnp.swapaxes(gdh, 0, 1)
+    if (r0p, r1p) != (r0, r1):
+        gdht = jnp.pad(gdht, ((0, r1p - r1), (0, r0p - r0)))
+
     kernel = functools.partial(
         _kernel_fold, r1=r1, M=M, Mr=Mr, C=C, minv=minv,
     )
@@ -198,7 +165,7 @@ def blend_scatter_fold(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (r1, r0), lambda b, i, *_: (0, 0),
+                (r1p, r0p), lambda b, i, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -226,80 +193,4 @@ def blend_scatter_fold(
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(starts, mask, canvas, prod, jnp.swapaxes(gdh, 0, 1), gw[None])
-
-
-@functools.partial(
-    jax.jit, static_argnames=("C", "minv", "interpret")
-)
-def blend_scatter_chunk(
-    canvas: jax.Array,   # (D, H_real + 8, W*C) f32 flat-lane accumulator
-    prod: jax.Array,     # (B, r0, r1, r2*C) window outputs, lane-merged
-    starts: jax.Array,   # (B, 3) int32 window starts (in-bounds)
-    mask: jax.Array,     # (B,) int32 1 = real window, 0 = padding
-    gdh: jax.Array,      # (r0, r1) f32 separable blend factor
-    gw: jax.Array,       # (r2*C,) f32 per-lane w blend factor
-    *,
-    C: int,
-    minv: float,
-    interpret: bool = False,
-) -> jax.Array:
-    """canvas[s0:+r0, s1:+r1, s2*C:+r2*C] += prod * max(imp, minv), in
-    place. Returns the updated canvas (aliased with the input). The
-    canvas dim 1 MUST carry 8 slack rows past the real extent (the
-    aligned slab covers [(s1//8)*8, +r1+8)); the caller slices them
-    off."""
-    B, r0, r1, r2C = prod.shape
-    D, H, L = canvas.shape
-
-    td = r0
-    while td > 1 and (
-        r0 % td
-        or (3 * td * (r1 + 8) * L * 4 + 2 * td * r1 * r2C
-            * (prod.dtype.itemsize + 4))
-        > 30 * 2 ** 20
-    ):
-        td //= 2
-
-    kernel = functools.partial(
-        _kernel, td=td, r1=r1, L=L, C=C, minv=minv,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, r0 // td),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # canvas (aliased)
-            pl.BlockSpec(
-                (1, td, r1, r2C), lambda b, i, *_: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (r0, r1), lambda b, i, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, r2C), lambda b, i, *_: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((td, r1 + 8, L), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(canvas.shape, canvas.dtype),
-        input_output_aliases={2: 0},  # flat inputs: starts, mask, canvas
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * r0 * r1 * r2C,
-            bytes_accessed=2 * B * r0 * r1 * L * 4 + prod.nbytes,
-            transcendentals=0,
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT
-        ),
-        interpret=interpret,
-    )(starts, mask, canvas, prod, gdh, gw[None])
+    )(starts, mask, canvas, prod, gdht, gw[None])

@@ -458,45 +458,6 @@ def probe_roll_plus_dma():
     print("probe roll+dma:", "OK" if ok else "MISMATCH", flush=True)
 
 
-def probe_full_kernel_small():
-    from anatomix_tpu.ops.pallas.scatter import (
-        blend_scatter_chunk, fold_tables,
-    )
-
-    fold, C, r = 8, 16, 32
-    g = [np.linspace(0.5, 1.0, r)] * 3
-    gdh, gwf, valid = fold_tables(g, 1e-3, fold, C)
-    rng = np.random.default_rng(0)
-    D = 64
-    # canvas width must cover the kernel's 8-aligned slab bases:
-    # Wf = D//fold + ALIGN (the first wave-10 run used D//fold + 1 and
-    # crashed the worker with an out-of-bounds DMA — a probe bug, not a
-    # kernel bug; cols = r//fold + ALIGN = 12 > 9 columns)
-    from anatomix_tpu.ops.pallas.scatter import ALIGN
-    canvas = jnp.zeros((D, D, D // fold + ALIGN, 128), jnp.float32)
-    prod = jnp.asarray(
-        rng.standard_normal((2, r, r, r * C)).astype(np.float32)
-    ).astype(jnp.bfloat16)
-    starts = jnp.asarray(np.array([[3, 7, 13], [0, 0, 0]], np.int32))
-    mask = jnp.asarray(np.array([1, 0], np.int32))
-    out = blend_scatter_chunk(
-        canvas, prod, starts, mask, jnp.asarray(gdh), jnp.asarray(gwf),
-        jnp.asarray(valid), fold=fold, C=C, minv=1e-3,
-    )
-    acc = np.asarray(out).reshape(
-        D, D, (D // fold + ALIGN) * fold, C
-    )[:, :, :D]
-    imp = np.maximum(
-        np.einsum("i,j,k->ijk", g[0], g[1], g[2]), 1e-3
-    ).astype(np.float32)
-    ref = np.zeros((D, D, D, C), np.float32)
-    p0 = np.asarray(prod[0].astype(jnp.float32)).reshape(r, r, r, C)
-    ref[3:3 + r, 7:7 + r, 13:13 + r] += p0 * imp[..., None]
-    rel = np.abs(acc - ref).max() / (np.abs(ref).max() + 1e-8)
-    print(f"probe full kernel small: rel {rel:.2e}",
-          "OK" if rel < 1e-5 else "MISMATCH", flush=True)
-
-
 def probe_full_kernel_bigroll():
     """Full-scale roll shape (td=4, r1=128, 2048 lanes) inside a kernel."""
     def kernel(s_ref, x_ref, o_ref):
@@ -540,7 +501,7 @@ if __name__ == "__main__":
               probe_hbm_sublane_aligned, probe_hbm_4d_untiled_dyn,
               probe_hbm_3dyn, probe_alias_grid_overlap,
               probe_roll_plus_dma,
-              probe_full_kernel_bigroll, probe_full_kernel_small)
+              probe_full_kernel_bigroll)
     if len(sys.argv) > 1:
         probes = tuple(q for q in probes if sys.argv[1] in q.__name__)
     for q in probes:
