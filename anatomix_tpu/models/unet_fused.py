@@ -399,6 +399,10 @@ def unet_apply_fused(
     feat = x.astype(compute_dtype)
     in_block = False
     enc_feats: list[tuple[jax.Array, bool]] = []
+    exit_conv = max(
+        (i for i, s in enumerate(plan.layers) if s.kind == "conv"),
+        default=-1,
+    )
 
     def conv_impl_at(idx):
         p = params.get(str(idx), {})
@@ -443,9 +447,18 @@ def unet_apply_fused(
                     feat = _s2d(feat, interpret)
                     in_block = True
                 if impl == "sparse":
+                    # fold exits consume f32 (Mosaic strided loads are
+                    # 32-bit-only): the tail conv stores its f32
+                    # accumulator directly instead of a bf16 round trip
+                    # + standalone cast pass
                     feat = conv_block_sparse(
                         feat, packed, pad_type=cfg.pad_type,
                         interpret=interpret, emit_full=idx == tail_conv,
+                        out_dtype=(
+                            jnp.float32
+                            if emit == "fold" and idx == exit_conv
+                            else None
+                        ),
                     )
                     if idx == tail_conv:
                         in_block = False
@@ -565,7 +578,12 @@ def unet_apply_fused(
         if in_block and feat.shape[-1] // 8 >= 8 and fold_supported(
             feat.shape[-1] // 8, feat.shape[3]
         ):
-            return depth_to_space_fold(feat, interpret=interpret)
+            # windows travel to the stitcher in compute dtype (the
+            # scatter kernel blends in f32 regardless); the f32 input
+            # here comes straight from the exit conv's accumulator
+            return depth_to_space_fold(
+                feat, out_dtype=compute_dtype, interpret=interpret
+            )
         if in_block:
             feat = _d2s(feat, interpret)
         B_, D_, H_, W_, C_ = feat.shape

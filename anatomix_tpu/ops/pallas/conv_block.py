@@ -492,6 +492,7 @@ def conv_block_sparse(
     pad_type: str = "zeros",
     interpret: bool = False,
     emit_full: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
     """'Same'-padded sparse block conv: 1-block halo (edge == full-res
     reflect; zeros == full-res zeros), then the valid kernel. For reflect
@@ -514,7 +515,8 @@ def conv_block_sparse(
     ):
         return conv_block_sparse_halo(
             x_block, packed["w0"], packed["w1"], packed["w2"],
-            packed["b8"], act=packed["act"], out_dtype=x_block.dtype,
+            packed["b8"], act=packed["act"],
+            out_dtype=out_dtype or x_block.dtype,
             interpret=interpret,
         )
     # single pad: 1-voxel halo on d/h/w plus the sublane-alignment tail
@@ -526,7 +528,8 @@ def conv_block_sparse(
     )
     return conv_block_sparse_valid(
         xp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
-        act=packed["act"], out_dtype=x_block.dtype, interpret=interpret,
+        act=packed["act"], out_dtype=out_dtype or x_block.dtype,
+        interpret=interpret,
         out_w=x_block.shape[3], emit_full=emit_full,
     )
 
