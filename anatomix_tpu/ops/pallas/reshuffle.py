@@ -170,7 +170,7 @@ def _d2s_fold_kernel(y_ref, out_ref, *, C: int, g: int):
             out_ref[:, a, :, b] = jnp.concatenate(
                 [y_ref[:, :, t::g, s: s + 2 * C] for t in range(g)],
                 axis=-1,
-            )
+            ).astype(out_ref.dtype)
 
 
 def _d2s_fold_sub_kernel(y_ref, s_ref, out_ref, *, C: int, g: int):

@@ -42,6 +42,27 @@ def test_depth_to_space_fold_matches_reshape(rng, C):
     got = np.asarray(depth_to_space_fold(y, interpret=True))
     np.testing.assert_array_equal(got, want)
 
+    # bf16 input with bf16 output: exercises the internal f32 upcast
+    # (Mosaic strided loads are 32-bit-only) + store-side downcast
+    yb = y.astype(jnp.bfloat16)
+    got_b = depth_to_space_fold(yb, interpret=True)
+    assert got_b.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_b, np.float32),
+        np.asarray(
+            depth_to_space(yb, interpret=True), np.float32
+        ).reshape(B, 2 * d, 2 * d, 2 * d * C // 128, 128),
+    )
+    # f32 input downcast to bf16 output (the UNet f32 exit-conv case)
+    got_fb = depth_to_space_fold(
+        y, out_dtype=jnp.bfloat16, interpret=True
+    )
+    assert got_fb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got_fb, np.float32),
+        np.asarray(want.astype(np.float32).astype(jnp.bfloat16), np.float32),
+    )
+
     sub = jnp.asarray(
         rng.standard_normal((B, 8 * C)).astype(np.float32)
     )
