@@ -157,37 +157,38 @@ def depth_to_space(
     return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
-def _d2s_fold_kernel(y_ref, out_ref, *, C: int, g: int):
+def _d2s_fold_kernel(y_ref, out_ref, scratch, *, C: int, g: int):
     # (td, th, w, 8C) -> (td, 2, th, 2, w/g, g*2C=128): per (a, b) plane,
     # pack g w-positions' 2C-lane fields into one full 128-lane row via
-    # strided REF loads + lane concat. No reshape primitive (Mosaic
-    # rejects in-kernel minor-dim merges) and no value-level strided
-    # slicing (lowers to an unsupported >2D gather) —
-    # tools/_exp_repack.py + _exp_pack2.py.
+    # strided REF loads + lane concat. Mosaic constraints shaped this
+    # (tools/_exp_repack.py + _exp_pack2.py + wave-20): no in-kernel
+    # minor-dim merge reshapes, value-level strided slices lower to
+    # unsupported >2D gathers, strided loads are 32-bit-only AND require
+    # a zero last-dim index — hence the lane slice bounces through a
+    # VMEM scratch so the strided read starts at lane 0.
     for a in range(2):
         for b in range(2):
             s = (a * 2 + b) * 2 * C
+            scratch[...] = y_ref[:, :, :, s: s + 2 * C]
             out_ref[:, a, :, b] = jnp.concatenate(
-                [y_ref[:, :, t::g, s: s + 2 * C] for t in range(g)],
+                [scratch[:, :, t::g, :] for t in range(g)],
                 axis=-1,
             ).astype(out_ref.dtype)
 
 
-def _d2s_fold_sub_kernel(y_ref, s_ref, out_ref, *, C: int, g: int):
+def _d2s_fold_sub_kernel(y_ref, s_ref, out_ref, scratch, *, C: int,
+                         g: int):
     for a in range(2):
         for b in range(2):
             s = (a * 2 + b) * 2 * C
-            out_ref[:, a, :, b] = jnp.concatenate(
-                [
-                    (
-                        y_ref[:, :, t::g, s: s + 2 * C]
-                        .astype(jnp.float32)
-                        - s_ref[0, s: s + 2 * C]
-                    ).astype(out_ref.dtype)
-                    for t in range(g)
-                ],
-                axis=-1,
+            scratch[...] = (
+                y_ref[:, :, :, s: s + 2 * C].astype(jnp.float32)
+                - s_ref[0, s: s + 2 * C]
             )
+            out_ref[:, a, :, b] = jnp.concatenate(
+                [scratch[:, :, t::g, :] for t in range(g)],
+                axis=-1,
+            ).astype(out_ref.dtype)
 
 
 def fold_supported(C: int, w: int) -> bool:
@@ -265,6 +266,9 @@ def depth_to_space_fold(
             out_shape=jax.ShapeDtypeStruct(
                 (d, 2, h, 2, w // g, 128), out_dtype
             ),
+            scratch_shapes=[
+                pltpu.VMEM((td, th, w, 2 * C), jnp.float32),
+            ],
             cost_estimate=pl.CostEstimate(
                 flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
             ),
