@@ -327,7 +327,12 @@ def _flash_attention(q, k, v, scale: float):
     )
 
     B, H, N, hd = q.shape
-    blk = 384
+    # candidate 456 divides N=4104 (4096 tokens + 8 registers) exactly —
+    # zero row padding vs blk=384's 4104->4224. Sweep via env
+    # (tools/_exp_flashblk.py); default recorded there.
+    import os
+
+    blk = int(os.environ.get("ANATOMIX_FLASH_BLK", "384"))
     Np = -(-N // blk) * blk
     hdp = max(128, -(-hd // 128) * 128)
     pad = ((0, 0), (0, 0), (0, Np - N), (0, hdp - hd))

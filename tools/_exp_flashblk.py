@@ -1,0 +1,60 @@
+"""Flash-attention block-size sweep at the ViT shape (B=1, H=6, N=4104,
+hd=66->128) — VERDICT r2 weak #7 wants a recorded decision, not a
+constant. Candidates: 256/384/512 (pad N up), 456/1368 (divide 4104
+exactly, zero row padding).
+
+PYTHONPATH=/root/repo:/root/.axon_site python tools/_exp_flashblk.py
+"""
+import os
+import traceback
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from anatomix_tpu.models.vit3d import primus  # noqa: E402
+from anatomix_tpu.utils.benchtools import pipeline_time  # noqa: E402
+
+rng = np.random.default_rng(0)
+B, H, N, hd = 1, 6, 4104, 66
+q, k, v = (
+    jnp.asarray(rng.standard_normal((B, H, N, hd)).astype(np.float32))
+    .astype(jnp.bfloat16)
+    for _ in range(3)
+)
+scale = 1.0 / np.sqrt(hd)
+
+ref = None
+for blk in (384, 256, 456, 512, 1368):
+    os.environ["ANATOMIX_FLASH_BLK"] = str(blk)
+    try:
+        def fa(q, k, v):
+            # fresh closure per blk: env is read at trace time
+            return primus._flash_attention(q, k, v, scale)
+
+        # chain q <- out to defeat probe shrinking; 12 calls per step
+        def chain(q, k, v):
+            for _ in range(12):
+                q = primus._flash_attention(q, k, v, scale)
+            return q
+
+        out = jax.jit(fa)(q, k, v)
+        if ref is None:
+            ref = np.asarray(out.astype(jnp.float32))
+            err = 0.0
+        else:
+            err = float(
+                np.abs(np.asarray(out.astype(jnp.float32)) - ref).max()
+            )
+        t = pipeline_time(chain, q, n=2, reps=3, args=(k, v))
+        print(
+            f"blk={blk}: {t / 12 * 1e3:.3f} ms/attn (x12 chain), "
+            f"max dev vs blk384 {err:.2e}",
+            flush=True,
+        )
+    except Exception:
+        print(f"blk={blk}: FAILED", flush=True)
+        traceback.print_exc()

@@ -70,6 +70,34 @@ def build(which):
             )
         )(jax.random.PRNGKey(1))
         return jax.jit(ext.impl), (vol, ext.arrays), 1
+    if which == "dx":
+        # isolated input-gradient of the differentiable sparse conv at the
+        # 128-crop training shape: trainkern measured dx ~4.4x the fwd
+        # (16.4 vs 3.7 ms) even after the extent-tiling fix — attribute it
+        import numpy as np
+
+        from anatomix_tpu.ops.pallas.conv_block_train import (
+            conv_block_sparse_train,
+        )
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(
+            rng.standard_normal((2, 64, 64, 64, 128)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            rng.standard_normal((3, 3, 3, 16, 16)).astype(np.float32) * 0.1
+        )
+        b = jnp.asarray(rng.standard_normal(16).astype(np.float32))
+
+        def loss(x, w, b):
+            y = conv_block_sparse_train(
+                x, w, b, "lrelu", "reflect", jnp.bfloat16
+            )
+            return jnp.sum(y.astype(jnp.float32))
+
+        gx = jax.grad(loss, argnums=0)
+        f = jax.jit(lambda x, w, b: jnp.sum(gx(x, w, b).astype(jnp.float32)))
+        return f, (x, w, b), 4
     if which == "train":
         import numpy as np
 
