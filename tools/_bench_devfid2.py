@@ -49,8 +49,8 @@ print(f"reference (sliding 0.8) computed ({time.time()-t0:.0f}s)",
 
 for name, kw in (
     ("sliding_0.5", dict(strategy="sliding", overlap=0.5)),
-    ("sliding_0.25", dict(strategy="sliding", overlap=0.25)),
     ("full_tiled", dict(strategy="full_tiled")),
+    ("sliding_0.25", dict(strategy="sliding", overlap=0.25)),
 ):
     ext = make_feature_extractor(
         plan, params, roi_size=(128, 128, 128),
