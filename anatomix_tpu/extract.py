@@ -169,8 +169,10 @@ def make_feature_extractor(
     *,
     strategy: str = "sliding",
     roi_size=(128, 128, 128),
-    sw_batch_size: int | None = None,  # auto: 2 (reference default); 1 for the ViT
-                                       # (batching windows is 1.5x slower there)
+    sw_batch_size: int | None = None,  # auto: 2 (reference default; also
+                                       # best for the ViT since the 3c
+                                       # tokenizer/decoder rework: 9.43 s
+                                       # vs 10.16 at B=1, wave 21)
     overlap: float = 0.8,
     mode: str = "gaussian",
     sigma_scale: float = 0.25,
@@ -250,7 +252,7 @@ def make_feature_extractor(
                 vit_window_fn,
                 vit_cfg.num_classes,
                 roi_size=vit_cfg.input_shape,
-                sw_batch_size=sw_batch_size or 1,
+                sw_batch_size=sw_batch_size or 2,
                 overlap=overlap,
                 mode=mode,
                 sigma_scale=sigma_scale,

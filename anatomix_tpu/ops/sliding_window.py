@@ -148,7 +148,7 @@ def scatter_kernel_eligible(
         acc_dtype == jnp.float32
         and (W * out_channels) % 128 == 0
         and (r2 * out_channels) % 128 == 0
-        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "0") == "1"
+        and os.environ.get("ANATOMIX_SCATTER_KERNEL", "1") == "1"
         and (jax.default_backend() not in ("cpu",) or interpret)
     )
 
@@ -204,8 +204,9 @@ def _scan_windows(
     # rolls (v1's unaligned sublane DMA crashed the worker; v2's
     # unaligned h slice failed Mosaic compile — waves 10-15). Needs
     # separable blend factors, f32 accumulator, 128-divisible folded
-    # width, and a TPU. DEFAULT OFF until HW-validated; opt in with
-    # ANATOMIX_SCATTER_KERNEL=1.
+    # width, and a TPU. DEFAULT ON since round 3c (v5 HW tests green in
+    # the -m tpu tier; 6M sliding 6.89 -> 5.36 s with kernel + fold
+    # exits, wave 21); opt out with ANATOMIX_SCATTER_KERNEL=0.
     use_kernel = imp_factors is not None and scatter_kernel_eligible(
         W, r2, out_channels, acc_dtype, interpret
     )

@@ -265,11 +265,11 @@ def main():
             )
         )(jax.random.PRNGKey(2))
         t1 = pipeline_time(vit_fwd, xf, n=4, reps=3, args=(vit_params,))
-        # sw_batch 1: the ViT forward is 1.5x cheaper per window unbatched
-        # (29.7 vs 44.4 ms/window at B=4, tools/_exp_vitb.py); results are
-        # batch-invariant so this is purely an execution knob
+        # sw_batch 2: best since the round-3 tokenizer/decoder rework +
+        # fold-exit stitching (9.43 s vs 10.16 at B=1, wave 21); results
+        # are batch-invariant so this is purely an execution knob
         ext_vit = make_feature_extractor(
-            vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
+            vit_cfg, vit_params, sw_batch_size=2, overlap=0.8,
             compute_dtype=compute_dtype,
         )
         t2 = pipeline_time(
