@@ -20,4 +20,8 @@ sleep 30
 echo "[wave22] D: ViT fwd attribution"
 timeout 2400 python tools/_trace_attrib.py vit > /tmp/q_trvit8.log 2>&1
 echo "[wave22] D rc=$?"
+sleep 30
+echo "[wave22] E: ViT sliding attribution (sw_batch 2, fold+kernel)"
+timeout 2400 python tools/_trace_vitsw.py > /tmp/q_trvitsw2.log 2>&1
+echo "[wave22] E rc=$?"
 echo "[wave22] done"

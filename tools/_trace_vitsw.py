@@ -17,7 +17,7 @@ from anatomix_tpu.models.registry import ANATOMIX_VARIANTS
 from anatomix_tpu.models.vit3d import load_primus_v2
 
 cfg, params = load_primus_v2(ANATOMIX_VARIANTS["anatomix-dev-vit"]["vit_kwargs"])
-ext = make_feature_extractor(cfg, params, sw_batch_size=4, overlap=0.8,
+ext = make_feature_extractor(cfg, params, sw_batch_size=2, overlap=0.8,
                              compute_dtype=jnp.bfloat16)
 vol = jax.jit(
     lambda k: jax.random.normal(k, (1, 256, 256, 256, 1), jnp.float32)
