@@ -265,6 +265,19 @@ def main():
             )
         )(jax.random.PRNGKey(2))
         t1 = pipeline_time(vit_fwd, xf, n=4, reps=3, args=(vit_params,))
+
+        # packed exit: the decoder emits the folded flat-lane form whose
+        # row-major bytes ARE the spatial (1,128,128,128,32) tensor (free
+        # host-side reshape; bit-exactness pinned by the fold-emit parity
+        # test) — skips the narrow-C relayout the spatial jit output pays
+        def vit_fwd_packed(v, p):
+            return primus_apply(
+                vit_cfg, p, v, compute_dtype=compute_dtype, emit="fold"
+            )
+
+        t1p = pipeline_time(
+            vit_fwd_packed, xf, n=4, reps=3, args=(vit_params,)
+        )
         # sw_batch 2: best since the round-3 tokenizer/decoder rework +
         # fold-exit stitching (9.43 s vs 10.16 at B=1, wave 21); results
         # are batch-invariant so this is purely an execution knob
