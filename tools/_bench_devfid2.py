@@ -37,13 +37,25 @@ def _cos(a, b):
     return jnp.mean(num / den)
 
 
+def _free(tree):
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "delete"):
+            leaf.delete()
+
+
 t0 = time.time()
 ext_ref = make_feature_extractor(
     plan, params, strategy="sliding", roi_size=(128, 128, 128),
     overlap=0.8, compute_dtype=jnp.bfloat16,
 )
-y_ref = ext_ref.impl(vol, ext_ref.arrays)
-float(jnp.sum(y_ref))
+# bf16 reference halves resident HBM (2.1 GB -> 1.05 GB at 256^3 x 32ch);
+# the cosine is computed in f32 either way.
+y_ref = jax.jit(lambda a: a.astype(jnp.bfloat16))(
+    ext_ref.impl(vol, ext_ref.arrays)
+)
+float(jnp.sum(y_ref.astype(jnp.float32)))
+_free(ext_ref.arrays)
+del ext_ref
 print(f"reference (sliding 0.8) computed ({time.time()-t0:.0f}s)",
       flush=True)
 
@@ -59,4 +71,7 @@ for name, kw in (
     t = pipeline_time(ext.impl, vol, n=1, reps=2, args=(ext.arrays,))
     y = ext.impl(vol, ext.arrays)
     c = float(_cos(y, y_ref))
+    _free(ext.arrays)
+    y.delete()
+    del ext, y
     print(f"{name}: {t:.3f} s, cosine vs sliding0.8 {c:.4f}", flush=True)
