@@ -235,6 +235,12 @@ def main():
         y_tiled = dev_ext.impl(vol256, dev_ext.arrays)
         y_sw = ext_sw.impl(vol256, ext_sw.arrays)
         cos = float(_cos(y_tiled, y_sw))
+        # free ~4 GB of f32 features before the ViT sections (HBM
+        # headroom). Outputs only: extractor `arrays` share leaves with
+        # the source params pytree, so deleting them poisons any other
+        # extractor built from the same params.
+        y_tiled.delete()
+        y_sw.delete()
         return t_sw_dev, cos
 
     t_dev_sw, dev_cos = (
@@ -288,9 +294,11 @@ def main():
         t2 = pipeline_time(
             ext_vit.impl, vol256, n=1, reps=2, args=(ext_vit.arrays,)
         )
-        return t1, t2
+        return t1, t1p, t2
 
-    t_vit_fwd, t_vit256 = _section("vit", _vit, (None, None))
+    t_vit_fwd, t_vit_fwd_packed, t_vit256 = _section(
+        "vit", _vit, (None, None, None)
+    )
     _progress("vit sliding 256 done: %s" % t_vit256)
 
     def _r(x, nd):
@@ -313,6 +321,7 @@ def main():
             "dev_sliding_256_seconds": _r(t_dev_sw, 3),
             "dev_full_tiled_vs_sliding_cosine": _r(dev_cos, 4),
             "vit_fwd_seconds_128": _r(t_vit_fwd, 4),
+            "vit_fwd_packed_seconds_128": _r(t_vit_fwd_packed, 4),
             "vit_sliding_256_seconds": _r(t_vit256, 3),
             "compute_dtype": "bfloat16",
             "device": str(jax.devices()[0]),

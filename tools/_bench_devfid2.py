@@ -37,12 +37,6 @@ def _cos(a, b):
     return jnp.mean(num / den)
 
 
-def _free(tree):
-    for leaf in jax.tree.leaves(tree):
-        if hasattr(leaf, "delete"):
-            leaf.delete()
-
-
 t0 = time.time()
 ext_ref = make_feature_extractor(
     plan, params, strategy="sliding", roi_size=(128, 128, 128),
@@ -54,7 +48,9 @@ y_ref = jax.jit(lambda a: a.astype(jnp.bfloat16))(
     ext_ref.impl(vol, ext_ref.arrays)
 )
 float(jnp.sum(y_ref.astype(jnp.float32)))
-_free(ext_ref.arrays)
+# NOTE: never .delete() extractor `arrays` leaves — they share buffers
+# with the source params pytree (other extractors would crash). Dropping
+# the Python reference frees the non-shared packed arrays via GC.
 del ext_ref
 print(f"reference (sliding 0.8) computed ({time.time()-t0:.0f}s)",
       flush=True)
@@ -71,7 +67,6 @@ for name, kw in (
     t = pipeline_time(ext.impl, vol, n=1, reps=2, args=(ext.arrays,))
     y = ext.impl(vol, ext.arrays)
     c = float(_cos(y, y_ref))
-    _free(ext.arrays)
     y.delete()
     del ext, y
     print(f"{name}: {t:.3f} s, cosine vs sliding0.8 {c:.4f}", flush=True)
