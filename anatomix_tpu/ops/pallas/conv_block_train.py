@@ -461,23 +461,28 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
     wflip = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
     f0, f1, f2 = pack_sparse_weights_jnp(wflip.astype(compute_dtype))
     zb8 = jnp.zeros((1, 8 * ci), jnp.float32)
-    # The dx output extent d+2 (e.g. 66 at the 128-crop config) has no
-    # 4/8/16 divisor, so _pick_tile degraded to 2x2 tiles — a 1089-step
-    # grid of starved GEMMs (10.4 ms/conv in the round-3 train trace).
-    # Zero-pad the extent to a multiple of 8 (zero rows conv to zeros,
-    # sliced off below); store bf16 — dx is downcast right after anyway.
+    # The dx output extents d+2/h+2 (e.g. 66 at the 128-crop config) have
+    # no 4/8/16 divisor, so _pick_tile degraded to 2x2 tiles — a
+    # 1089-step grid of starved GEMMs (10.4 ms/conv in the round-3 train
+    # trace). Zero-pad the extents to a multiple of 8 (zero rows conv to
+    # zeros, sliced off below); store bf16 — dx is downcast right after.
+    # The W (out_w) extent must ALSO be 8-aligned: Mosaic's in-kernel
+    # (td, th, W) -> M flatten of the GEMM LHS is relayout-free only for
+    # W % 8 == 0, and out_w = wd+2 = 66 made the dx kernel run ~3.4x
+    # slower per row than the fwd halo kernel (wave-22 train trace:
+    # 73.5 ms of dx vs 21.9 ms of ALL fwd convs).
     ext_d = -(-(d + 2) // 8) * 8
     ext_h = -(-(h + 2) // 8) * 8
-    align2 = (-(wd + 4)) % 8
+    ext_w = -(-(wd + 2) // 8) * 8
     dpre_p = jnp.pad(
         dpre,
         ((0, 0), (2, 2 + ext_d - (d + 2)), (2, 2 + ext_h - (h + 2)),
-         (2, 2 + align2), (0, 0)),
+         (2, (ext_w + 2 - (wd + 2)) + ((-(ext_w + 2)) % 8)), (0, 0)),
     )
     dx_ext = conv_block_sparse_valid(
         dpre_p, f0, f1, f2, zb8, act="none", out_dtype=x_block.dtype,
-        interpret=interpret, out_w=wd + 2,
-    )[:, : d + 2, : h + 2]
+        interpret=interpret, out_w=ext_w,
+    )[:, : d + 2, : h + 2, : wd + 2]
     # (B, d+2, h+2, w+2, 8Ci): gradient wrt the halo-padded forward input
     _, pad_vjp = jax.vjp(lambda v: _halo_pad(v, pad_type), x_block)
     # _halo_pad also adds the w alignment tail; extend dx_ext to match

@@ -1,7 +1,10 @@
 """Flash-attention block-size sweep at the ViT shape (B=1, H=6, N=4104,
 hd=66->128) — VERDICT r2 weak #7 wants a recorded decision, not a
-constant. Candidates: 256/384/512 (pad N up), 456/1368 (divide 4104
-exactly, zero row padding).
+constant. The stock kernel requires kv blocks to be multiples of 128
+(first sweep attempt with 456/1368 failed on that), so candidates are
+%128 sizes: 128/256/384 (current)/512/1408/4224; padded N =
+ceil(4104/blk)*blk (4224 for 128/384/1408/4224, 4352 for 256, 4608 for
+512).
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/_exp_flashblk.py
 """
@@ -28,16 +31,20 @@ q, k, v = (
 scale = 1.0 / np.sqrt(hd)
 
 ref = None
-for blk in (384, 256, 456, 512, 1368):
+for blk in (384, 128, 256, 512, 1408, 4224):
     os.environ["ANATOMIX_FLASH_BLK"] = str(blk)
     try:
         def fa(q, k, v):
             # fresh closure per blk: env is read at trace time
             return primus._flash_attention(q, k, v, scale)
 
-        # chain q <- out to defeat probe shrinking; 12 calls per step
+        # chain q <- out to defeat probe shrinking; 48 calls per step so
+        # device time (~37 ms) clears the ~28 ms dispatch floor (trap #6 —
+        # the first sweep's 12-call chain read 0.087/0.000 ms fictions)
+        CHAIN = 48
+
         def chain(q, k, v):
-            for _ in range(12):
+            for _ in range(CHAIN):
                 q = primus._flash_attention(q, k, v, scale)
             return q
 
@@ -51,7 +58,7 @@ for blk in (384, 256, 456, 512, 1368):
             )
         t = pipeline_time(chain, q, n=2, reps=3, args=(k, v))
         print(
-            f"blk={blk}: {t / 12 * 1e3:.3f} ms/attn (x12 chain), "
+            f"blk={blk}: {t / CHAIN * 1e3:.3f} ms/attn (x{CHAIN} chain), "
             f"max dev vs blk384 {err:.2e}",
             flush=True,
         )
