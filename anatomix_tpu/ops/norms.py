@@ -193,8 +193,18 @@ def batch_norm_train(
         mean_sq = jax.lax.pmean(mean_sq, axis_name)
         n = n * jax.lax.psum(1, axis_name)
     var = mean_sq - jnp.square(mean)  # biased
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    if x.dtype == jnp.float32:
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    else:
+        # sub-f32 inputs: fold (mean, invstd, scale, bias) into one
+        # per-channel affine applied in the input dtype — the f32
+        # materialization of the normalized volume (plus its VJP) was
+        # ~30 ms of the traced pretraining step; the result differs from
+        # the f32 apply by less than bf16 rounding of it
+        a = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+        bshift = bias.astype(jnp.float32) - mean * a
+        y = x * a.astype(x.dtype) + bshift.astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased

@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -21,10 +23,7 @@ def _as3(v):
     return (v,) * 3 if isinstance(v, int) else tuple(v)
 
 
-def max_pool(x: jax.Array, window: int = 2, stride: int | None = None):
-    """MaxPool over spatial dims of NDHWC (torch ceil_mode=False)."""
-    w = _as3(window)
-    s = _as3(stride if stride is not None else window)
+def _reduce_max(x, w, s):
     return jax.lax.reduce_window(
         x,
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(
@@ -35,6 +34,56 @@ def max_pool(x: jax.Array, window: int = 2, stride: int | None = None):
         window_strides=(1, *s, 1),
         padding="VALID",
     )
+
+
+@jax.custom_vjp
+def _max_pool2x(x):
+    """2x2x2 stride-2 MaxPool with an argmax-routed backward.
+
+    XLA's built-in reduce_window VJP lowers to select-and-scatter — 8.3 ms
+    of the traced 6M pretraining step. The adjoint only needs to route
+    each output gradient to the FIRST max inside its (non-overlapping)
+    window (torch/XLA tie rule), which is a window-slot argmax + one-hot
+    multiply — pure elementwise traffic."""
+    return _reduce_max(x, (2, 2, 2), (2, 2, 2))
+
+
+def _mp2x_fwd(x):
+    return _max_pool2x(x), x
+
+
+def _mp2x_bwd(x, dy):
+    B, D, H, W, C = x.shape
+    v = x.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2, C)
+    v = jnp.transpose(v, (0, 1, 3, 5, 2, 4, 6, 7)).reshape(
+        B, D // 2, H // 2, W // 2, 8, C
+    )
+    # slot order (ad, ah, aw) == torch's (kd, kh, kw) window flatten, and
+    # jnp.argmax picks the first max — matching torch's and XLA's
+    # select-and-scatter tie routing
+    idx = jnp.argmax(v, axis=4)
+    oh = jax.nn.one_hot(idx, 8, axis=4, dtype=dy.dtype)
+    g = oh * dy[:, :, :, :, None, :]
+    g = g.reshape(B, D // 2, H // 2, W // 2, 2, 2, 2, C)
+    g = jnp.transpose(g, (0, 1, 4, 2, 5, 3, 6, 7)).reshape(B, D, H, W, C)
+    return (g,)
+
+
+_max_pool2x.defvjp(_mp2x_fwd, _mp2x_bwd)
+
+
+def max_pool(x: jax.Array, window: int = 2, stride: int | None = None):
+    """MaxPool over spatial dims of NDHWC (torch ceil_mode=False)."""
+    w = _as3(window)
+    s = _as3(stride if stride is not None else window)
+    if (
+        w == (2, 2, 2)
+        and s == (2, 2, 2)
+        and all(dim % 2 == 0 for dim in x.shape[1:4])
+        and jnp.issubdtype(x.dtype, jnp.floating)
+    ):
+        return _max_pool2x(x)
+    return _reduce_max(x, w, s)
 
 
 def avg_pool(x: jax.Array, window: int = 2, stride: int | None = None):

@@ -138,6 +138,62 @@ def test_pool2(rng, kind):
 
 
 @requires_torch
+def test_max_pool2x_grad_matches_torch_with_ties(rng):
+    """The argmax-routed custom VJP of the 2x stride-2 max pool must use
+    torch's tie rule (gradient to the FIRST max in (kd, kh, kw) window
+    order). ReLU'd inputs make exact-zero ties common, so this pins the
+    routing bit-exactly, not just on distinct values."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from anatomix_tpu.ops.pool import max_pool
+
+    x = np.maximum(
+        rng.standard_normal((2, 8, 8, 8, 4)), 0
+    ).astype(np.float32)
+    dy = rng.standard_normal((2, 4, 4, 4, 4)).astype(np.float32)
+
+    gx = np.asarray(
+        jax.grad(
+            lambda v: jnp.sum(max_pool(v) * jnp.asarray(dy))
+        )(jnp.asarray(x))
+    )
+    xt = torch.tensor(np.transpose(x, (0, 4, 1, 2, 3)), requires_grad=True)
+    F.max_pool3d(xt, 2).backward(
+        torch.tensor(np.transpose(dy, (0, 4, 1, 2, 3)))
+    )
+    gt = np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1))
+    assert np.abs(gx - gt).max() == 0.0
+
+
+def test_batch_norm_train_bf16_apply_matches_f32(rng):
+    """Sub-f32 batch_norm_train folds (mean, invstd, scale, bias) into one
+    per-channel affine applied in the input dtype; the result must stay
+    within bf16 rounding of the f32 apply and the running stats must be
+    dtype-independent (always f32)."""
+    from anatomix_tpu.ops.norms import batch_norm_train
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 6), dtype=np.float32))
+    sc = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    bi = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    rm, rv = jnp.zeros(6), jnp.ones(6)
+    y32, m32, v32 = batch_norm_train(x, rm, rv, sc, bi, eps=1e-5)
+    y16, m16, v16 = batch_norm_train(
+        x.astype(jnp.bfloat16), rm, rv, sc, bi, eps=1e-5
+    )
+    rel = float(
+        jnp.max(jnp.abs(y16.astype(jnp.float32) - y32))
+        / jnp.max(jnp.abs(y32))
+    )
+    assert rel < 0.03
+    np.testing.assert_allclose(np.asarray(m16), np.asarray(m32), atol=1e-2)
+    np.testing.assert_allclose(
+        np.asarray(v16), np.asarray(v32), atol=1e-2, rtol=1e-2
+    )
+
+
+@requires_torch
 @pytest.mark.parametrize("k,pad,stride", [(3, 1, 1), (5, 2, 1), (2, 0, 2)])
 def test_avg_pool3d_padded(rng, k, pad, stride):
     import torch.nn.functional as F
