@@ -5,6 +5,8 @@ norm, pooling, nearest/trilinear upsampling, avg_pool3d box filters,
 grid_sample — is checked against torch on small random volumes.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
