@@ -75,15 +75,20 @@ def register_pair(
     downscale_feat_scalar: float = 0.1,
     extract_strategy: str = "sliding",
     compute_dtype=None,
+    conv_impl: str = "auto",
 ):
     """Core registration on in-memory volumes. Returns (disp_vox
     (1,H,W,D,3), solver_seconds). Displacement channels (dH, dW, dD) in
-    voxel units."""
+    voxel units. `conv_impl` routes the feature extractor's convs
+    ("auto"/"xla"/"pallas_fused" — see `extract.make_feature_extractor`);
+    "xla" is the safe fallback when a Pallas kernel fails to compile at an
+    unusual volume extent."""
     pred_fixed, pred_moving = extract_features(
         fixed_img, moving_img, plan, params,
         fixminclip=fixed_minclip, fixmaxclip=fixed_maxclip,
         movminclip=moving_minclip, movmaxclip=moving_maxclip,
         strategy=extract_strategy, compute_dtype=compute_dtype,
+        conv_impl=conv_impl,
     )
     pred_fixed = pred_fixed * downscale_feat_scalar
     pred_moving = pred_moving * downscale_feat_scalar
