@@ -132,8 +132,15 @@ def build_all(cfg: PretrainConfig, steps_per_epoch: int, mesh=None):
     return plan, taps, state, step
 
 
-def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches):
-    """Validation loss on full volumes (no aug), `train.py:317-376`."""
+def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches,
+                     repl_sharding=None):
+    """Validation loss on full volumes (no aug), `train.py:317-376`.
+
+    `repl_sharding` (multihost): the train state lives on the GLOBAL
+    replicated mesh; mixing process-local host arrays with global-mesh
+    arrays in one jit raises (incompatible device sets), so the val
+    inputs — identical on every process, lockstep SPMD — are replicated
+    onto the same sharding first."""
     nce = NCEOptions(
         temperature=cfg.nce_T, lambda_nce=cfg.lambda_NCE,
         weigh_rarity=cfg.weigh_rarity,
@@ -148,6 +155,9 @@ def compute_val_loss(plan, cfg, taps, state, val_ds, rng_np, n_batches):
             jnp.asarray(img_a)[..., None], jnp.asarray(img_b)[..., None]
         ])[None]
         segs = jnp.asarray(seg, jnp.int32)[None, ..., None]
+        if repl_sharding is not None:
+            views = jax.device_put(views, repl_sharding)
+            segs = jax.device_put(segs, repl_sharding)
         loss, _ = nce_forward(
             plan, state.params_g, state.params_f, views, segs,
             jax.random.PRNGKey(i), tap_layers=taps,
@@ -512,7 +522,7 @@ def train(cfg: PretrainConfig, train_h5: str | None = None,
             if val_ds is not None:
                 val_loss = compute_val_loss(
                     plan, cfg, taps, state, val_ds, rng_np,
-                    cfg.n_val_during_train,
+                    cfg.n_val_during_train, repl_sharding=repl_sharding,
                 )
                 logger.log(total_iters, {"loss/val": val_loss})
                 if plateau is not None:

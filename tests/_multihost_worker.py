@@ -30,7 +30,12 @@ def main():
         ndims=3, input_nc=1, output_nc=4, ngf=4, num_downs=2,
         nce_layers=(11, 33), netF_nc=16, n_mlps=2, num_patches=16,
         crop_size=16, batch_size=4, n_epochs=2, n_epochs_decay=0,
-        print_freq=1, save_latest_freq=100, evaluation_freq=100,
+        print_freq=1, save_latest_freq=100,
+        # evaluation_freq=2 with max_iters=2: the val + plateau
+        # re-replication path runs exactly once (ADVICE r3: it was never
+        # exercised — global-mesh state × host-local val inputs in one
+        # jit raises in real multi-controller runs)
+        evaluation_freq=2, lr_policy="plateau", n_val_during_train=2,
         max_iters=2, multihost=True,
     )
     train(cfg)

@@ -85,6 +85,9 @@ def _losses(run_dir):
 @pytest.mark.slow
 def test_two_process_matches_single_process(tmp_path):
     _make_h5(str(tmp_path / "train_data.hdf5"))
+    # val set: the worker runs with evaluation_freq=2 + lr_policy=plateau
+    # so the multihost val-loss + plateau re-replication path executes
+    _make_h5(str(tmp_path / "val_data.hdf5"), n_subjects=2)
     ckpt = str(tmp_path / "ckpt")
 
     _run_cluster(1, str(tmp_path), ckpt, "mh1")
@@ -102,3 +105,15 @@ def test_two_process_matches_single_process(tmp_path):
     with open(os.path.join(ckpt, "mh2", "scalars.jsonl")) as f:
         steps = [json.loads(ln)["step"] for ln in f if "loss/loss" in ln]
     assert sorted(steps) == sorted(set(steps))
+
+    # the val + plateau path ran (evaluation_freq=2) and is process-count
+    # invariant like the train loss
+    def _val(run):
+        with open(os.path.join(ckpt, run, "scalars.jsonl")) as f:
+            return [
+                json.loads(ln)["loss/val"] for ln in f if "loss/val" in ln
+            ]
+
+    v1, v2 = _val("mh1"), _val("mh2")
+    assert len(v1) == len(v2) == 1, (v1, v2)
+    assert v1[0] == pytest.approx(v2[0], rel=1e-4)
