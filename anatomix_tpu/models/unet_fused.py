@@ -123,6 +123,19 @@ def _live_norm(cfg) -> bool:
     return cfg.norm in ("instance", "instance_affine")
 
 
+def _sparse_w_ok(w_blk: int) -> bool:
+    """Trace-time extent guard for the sparse block kernels: Mosaic
+    flattens (td, th, W) into the GEMM M dim and needs W % 8 == 0 — at
+    W=12 (the 192-chain block extent) the compile dies with `INTERNAL:
+    tpu_compile_helper subprocess exit code 1` (the r03 registration
+    failure; bisected to the extent-12 sparse conv by
+    tools/_probe_reg192.py, wave 25; same constraint as the dx kernel's
+    out_w 8-align, commit 00138cc). Prepack routes with roi extents, but
+    a trace may run other extents ('full' strategy at arbitrary volume
+    sizes), so eligibility is re-checked against the traced shape."""
+    return w_blk % 8 == 0
+
+
 def choose_impl_v2(cin: int, cout: int, spatial, skip_c1: int = 0) -> str:
     """Per-conv kernel routing from measured v5e rates (PERF.md).
 
@@ -419,7 +432,29 @@ def unet_apply_fused(
         if spec.kind == "conv":
             packed = p.get("fused") if p else None
             impl = packed["impl"] if packed else "xla"
-            if impl == "sparse_skip":
+            # extent guard (see _sparse_w_ok): demote to a plain XLA conv
+            # (+ the act absorbed at prepack) when this trace's block-w
+            # extent is outside the sparse kernel's shape domain
+            if impl == "sparse":
+                w_blk = feat.shape[3] if in_block else feat.shape[3] // 2
+                if not _sparse_w_ok(w_blk):
+                    impl = "demoted"
+            elif impl == "sparse_skip" and not (
+                isinstance(feat, tuple) and feat[0] == "skip_pair"
+            ):
+                # the upsample branch declined the pair (extent guard);
+                # the upsampled+concat'd input arrives in spatial layout
+                impl = "demoted"
+            if impl == "demoted":
+                if in_block:
+                    feat = _d2s(feat, interpret)
+                    in_block = False
+                feat = conv3d(
+                    feat, p["w"], p.get("b"), padding="SAME",
+                    pad_type=cfg.pad_type, compute_dtype=compute_dtype,
+                )
+                feat = _apply_act(feat, packed["act"]).astype(compute_dtype)
+            elif impl == "sparse_skip":
                 _, enc, small = feat
                 feat = conv_block_sparse_skip(
                     enc, small, packed, pad_type=cfg.pad_type,
@@ -517,6 +552,13 @@ def unet_apply_fused(
                 )
         elif spec.kind == "upsample":
             nxt = next_conv_impl(idx)
+            if nxt == "sparse_skip":
+                # extent guard: the fused skip kernel's W is the small
+                # (pre-upsample) spatial extent; decline the pair when it
+                # is outside the kernel's domain (the conv then demotes)
+                ws = 2 * feat.shape[3] if in_block else feat.shape[3]
+                if not _sparse_w_ok(ws):
+                    nxt = "xla"
             if nxt == "sparse_skip":
                 # the fused kernel consumes (encoder block, pre-upsample
                 # small) directly; nothing is materialized here

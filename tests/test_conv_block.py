@@ -223,3 +223,48 @@ def test_unet_fused_instance_norm_matches_xla(rng):
         )
     ).astype(np.float32)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
+
+
+def test_unet_fused_extent_guard_demotes_and_matches(rng):
+    """Traces at extents outside the sparse kernels' shape domain
+    (block-w % 8 != 0 — the r03 registration failure at 192³, whose
+    192-chain block extent 12 broke Mosaic's M-flatten) must demote those
+    convs to XLA at trace time and stay numerically correct: prepack at a
+    16-chain roi, trace at a 24-chain volume (block extents 12/6/3 — all
+    demoted, including the declined sparse_skip pair)."""
+    from anatomix_tpu.extract import fold_batchnorm
+    from anatomix_tpu.models.unet import (
+        UnetConfig, build_plan, init_params, unet_apply,
+    )
+    from anatomix_tpu.models.unet_fused import (
+        prepack_fused, unet_apply_fused,
+    )
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=2,
+                   ngf=16)
+    )
+    params = init_params(plan, jax.random.PRNGKey(0))
+    fplan, fparams = fold_batchnorm(plan, params)
+    fparams = jax.tree_util.tree_map(jnp.asarray, fparams)
+    pf = prepack_fused(
+        fplan, fparams, input_spatial=(16, 16, 16),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    impls = {
+        idx: pf[str(idx)].get("fused", {}).get("impl", "xla")
+        for idx, spec in enumerate(fplan.layers) if spec.kind == "conv"
+    }
+    assert "sparse" in impls.values()
+    assert "sparse_skip" in impls.values()
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 24, 24, 24, 1),
+                          jnp.float32)
+    ref = np.asarray(
+        unet_apply(fplan, fparams, x, compute_dtype=jnp.float32)
+    ).astype(np.float32)
+    got = np.asarray(
+        unet_apply_fused(
+            fplan, pf, x, compute_dtype=jnp.float32, interpret=True
+        )
+    ).astype(np.float32)
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
