@@ -329,10 +329,23 @@ def _flash_attention(q, k, v, scale: float):
     B, H, N, hd = q.shape
     # candidate 456 divides N=4104 (4096 tokens + 8 registers) exactly —
     # zero row padding vs blk=384's 4104->4224. Sweep via env
-    # (tools/_exp_flashblk.py); default recorded there.
+    # (tools/_exp_flashblk.py); default recorded there. TRACE-TIME ONLY:
+    # the value is baked into the jit cache — two runs in one process
+    # with different env values keep the first trace.
     import os
 
-    blk = int(os.environ.get("ANATOMIX_FLASH_BLK", "384"))
+    _raw = os.environ.get("ANATOMIX_FLASH_BLK", "384")
+    try:
+        blk = int(_raw)
+    except ValueError as e:
+        raise ValueError(
+            f"ANATOMIX_FLASH_BLK={_raw!r} is not an integer"
+        ) from e
+    if not (8 <= blk <= 4096) or blk % 8:
+        raise ValueError(
+            f"ANATOMIX_FLASH_BLK={blk} out of range: need a multiple of 8 "
+            "in [8, 4096] (flash block sizes are sublane-tiled)"
+        )
     Np = -(-N // blk) * blk
     hdp = max(128, -(-hd // 128) * 128)
     pad = ((0, 0), (0, 0), (0, Np - N), (0, hdp - hd))

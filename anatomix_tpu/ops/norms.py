@@ -197,14 +197,22 @@ def batch_norm_train(
         y = (x32 - mean) * jax.lax.rsqrt(var + eps)
         y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     else:
-        # sub-f32 inputs: fold (mean, invstd, scale, bias) into one
+        # sub-f32 inputs: fold (mean, invstd, scale, bias) into a
         # per-channel affine applied in the input dtype — the f32
         # materialization of the normalized volume (plus its VJP) was
-        # ~30 ms of the traced pretraining step; the result differs from
-        # the f32 apply by less than bf16 rounding of it
+        # ~30 ms of the traced pretraining step. Subtract-first form:
+        # (x - mean_b) is exact in bf16 near the mean (Sterbenz), so the
+        # rounding error scales with the DEVIATION, not the DC offset —
+        # the naive x*a + b form loses |mean*a|*2^-8 to cancellation when
+        # |mean| >> std (ADVICE r3; test_ops_parity covers N(50, 1)).
+        # The channel-mean's own bf16 quantization is folded back into
+        # the shift in f32.
         a = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
-        bshift = bias.astype(jnp.float32) - mean * a
-        y = x * a.astype(x.dtype) + bshift.astype(x.dtype)
+        m_b = mean.astype(x.dtype)
+        bshift = bias.astype(jnp.float32) + (
+            m_b.astype(jnp.float32) - mean
+        ) * a
+        y = (x - m_b) * a.astype(x.dtype) + bshift.astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased
@@ -233,4 +241,9 @@ def channel_layer_norm(x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
     if x.dtype == jnp.float32:
         return (x32 - mean) * jax.lax.rsqrt(var + eps)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    m_b = mean.astype(x.dtype)
+    # fold the per-voxel mean's bf16 quantization back in (f32, shape
+    # (..., 1)): without it a large DC offset leaves a systematic
+    # |mean|*2^-9*inv shift on the ~unit-scale output (ADVICE r3)
+    corr = (m_b.astype(jnp.float32) - mean) * inv
+    return (x - m_b) * inv.astype(x.dtype) + corr.astype(x.dtype)

@@ -51,8 +51,12 @@ _VMEM_LIMIT = 40 * 2 ** 20
 def lane_tables(imp_axes, C: int):
     """Host-side separable blend factors for the kernel: gdh (r0, r1) f32
     outer product of the first two axes, gw (r2*C,) f32 per-lane w factor.
-    `imp_axes` are the per-axis window functions from
-    `gaussian_importance_map` BEFORE normalization, or ones."""
+    `imp_axes` must be the NORMALIZED per-axis factors returned by
+    `sliding_window.gaussian_importance_axes` — the ones whose outer
+    product equals the clamped importance map before clipping (i.e. the
+    same factors the blend_weight_map denominator and minv clamp are
+    built from; passing unnormalized windows would scale the blend
+    numerator inconsistently with the denominator). Or ones."""
     g0, g1, g2 = imp_axes
     gdh = np.outer(g0, g1).astype(np.float32)
     gw = np.repeat(np.asarray(g2, np.float64), C).astype(np.float32)

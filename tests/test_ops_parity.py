@@ -195,6 +195,54 @@ def test_batch_norm_train_bf16_apply_matches_f32(rng):
     )
 
 
+def test_batch_norm_train_bf16_large_dc_offset(rng):
+    """Large per-channel DC offsets (|mean| >> std — e.g. post-ReLU
+    activations) are where a naive folded x*a + b bf16 apply loses
+    |mean*a|*2^-8 to cancellation (ADVICE r3). The subtract-first form
+    must keep the error at deviation scale: within a few bf16 ulps of
+    the f32 apply on N(50, 1) inputs."""
+    from anatomix_tpu.ops.norms import batch_norm_train
+
+    x = jnp.asarray(
+        50.0 + rng.standard_normal((2, 8, 8, 8, 6)).astype(np.float32)
+    )
+    sc = jnp.asarray(1.0 + 0.1 * rng.standard_normal(6).astype(np.float32))
+    bi = jnp.asarray(rng.standard_normal(6).astype(np.float32))
+    rm, rv = jnp.zeros(6), jnp.ones(6)
+    xb = x.astype(jnp.bfloat16)
+    # floor: the f32 apply on the bf16-quantized input — the error the
+    # input dtype alone imposes (~|x|*2^-9 deviations ≈ 0.17 here)
+    y_floor, _, _ = batch_norm_train(
+        xb.astype(jnp.float32), rm, rv, sc, bi, eps=1e-5
+    )
+    y16, _, _ = batch_norm_train(xb, rm, rv, sc, bi, eps=1e-5)
+    apply_err = float(
+        jnp.max(jnp.abs(y16.astype(jnp.float32) - y_floor))
+    )
+    # the bf16 apply itself must only add deviation-scale rounding (a few
+    # bf16 ulps of the ~unit output), NOT the |mean*a|*2^-8 ≈ 0.2
+    # DC-cancellation term of the naive x*a + b form
+    assert apply_err < 0.05, apply_err
+
+
+def test_channel_layer_norm_bf16_large_dc_offset(rng):
+    """Same regime for the ViT ChannelLayerNorm bf16 apply: the
+    per-voxel mean's bf16 quantization is corrected in f32, so a big DC
+    offset must not leave a systematic shift."""
+    from anatomix_tpu.ops.norms import channel_layer_norm
+
+    x = jnp.asarray(
+        50.0 + rng.standard_normal((2, 4, 4, 4, 32)).astype(np.float32)
+    )
+    xb = x.astype(jnp.bfloat16)
+    y_floor = channel_layer_norm(xb.astype(jnp.float32))
+    y16 = channel_layer_norm(xb)
+    apply_err = float(
+        jnp.max(jnp.abs(y16.astype(jnp.float32) - y_floor))
+    )
+    assert apply_err < 0.05, apply_err
+
+
 @requires_torch
 @pytest.mark.parametrize("k,pad,stride", [(3, 1, 1), (5, 2, 1), (2, 0, 2)])
 def test_avg_pool3d_padded(rng, k, pad, stride):

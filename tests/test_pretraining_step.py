@@ -270,3 +270,65 @@ def test_sample_patch_coords_exhaustive_when_p_equals_n():
     )
     flat = sorted((c[:, 0] * 2 + c[:, 1]) * 2 + c[:, 2])
     assert flat == list(range(8))
+
+
+def test_multidevice_dp_raw_grads_match_single():
+    """Raw gradients BEFORE the optimizer, tight tolerance (ADVICE r3):
+    the after-Adam comparison above bounds knife-edge sign flips by the
+    step size, which would hide a genuine sub-2e-3 per-element gradient
+    bug. Pre-update gradients remove the Adam amplification; a norm-free
+    config removes the OTHER amplifier (train-mode BN backward rsqrt on a
+    tiny random net turns reduction-order noise into ~1e-4..1e-2 diffs —
+    measured 1-vs-4-device; 2e-7 without norms). A missing psum or wrong
+    DP scaling still produces O(grad)-sized errors and fails loudly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from anatomix_tpu.pretraining.train_step import NCEOptions, nce_forward
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=4, num_downs=2,
+                   ngf=4, norm="none")
+    )
+    taps = (plan.encoder_idx[-1], plan.num_layers - 1)
+    state = init_train_state(
+        plan, jax.random.PRNGKey(0), tap_layers=taps, num_patches=32,
+        netf_nc=16, lr=1e-3,
+    )
+    nce = NCEOptions(
+        temperature=0.33, lambda_nce=1.0, weigh_rarity=False,
+        balance_denominator=False, weighting_mode="raw",
+    )
+    rng = np.random.default_rng(0)
+    views = jnp.asarray(
+        rng.standard_normal((4, 2, 16, 16, 16, 1)).astype(np.float32)
+    )
+    segs = jnp.asarray(
+        rng.integers(0, 3, (4, 16, 16, 16, 1)).astype(np.int32)
+    )
+
+    @jax.jit
+    def grads_of(pg, pf, v, s):
+        def loss_fn(pg, pf):
+            loss, _ = nce_forward(
+                plan, pg, pf, v, s, jax.random.PRNGKey(7),
+                tap_layers=taps, num_patches=32, nce=nce, train=True,
+            )
+            return loss
+        return jax.grad(loss_fn, argnums=(0, 1))(pg, pf)
+
+    g_single = grads_of(state.params_g, state.params_f, views, segs)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    v_sh = jax.device_put(views, NamedSharding(mesh, P("data")))
+    s_sh = jax.device_put(segs, NamedSharding(mesh, P("data")))
+    pg_r = jax.device_put(state.params_g, NamedSharding(mesh, P()))
+    pf_r = jax.device_put(state.params_f, NamedSharding(mesh, P()))
+    g_dp = grads_of(pg_r, pf_r, v_sh, s_sh)
+
+    flat1 = jax.tree_util.tree_leaves(g_single)
+    flat2 = jax.tree_util.tree_leaves(g_dp)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
