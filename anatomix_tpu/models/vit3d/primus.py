@@ -341,10 +341,11 @@ def _flash_attention(q, k, v, scale: float):
         raise ValueError(
             f"ANATOMIX_FLASH_BLK={_raw!r} is not an integer"
         ) from e
-    if not (8 <= blk <= 4096) or blk % 8:
+    if not (8 <= blk <= 8192) or blk % 8:
         raise ValueError(
             f"ANATOMIX_FLASH_BLK={blk} out of range: need a multiple of 8 "
-            "in [8, 4096] (flash block sizes are sublane-tiled)"
+            "in [8, 8192] (flash block sizes are sublane-tiled; above-N "
+            "values act as a single block)"
         )
     Np = -(-N // blk) * blk
     hdp = max(128, -(-hd // 128) * 128)

@@ -2,9 +2,10 @@
 hd=66->128) — VERDICT r2 weak #7 wants a recorded decision, not a
 constant. The stock kernel requires kv blocks to be multiples of 128
 (first sweep attempt with 456/1368 failed on that), so candidates are
-%128 sizes: 128/256/384 (current)/512/1408/4224; padded N =
-ceil(4104/blk)*blk (4224 for 128/384/1408/4224, 4352 for 256, 4608 for
-512).
+%128 sizes. Wave-25 sweep: 384=0.426, 128=1.354, 256=0.466,
+512=0.232, 1408=0.170 ms/attn — bigger is better at this tiny N; this
+follow-up confirms 1408 and adds 2176 (Np=4352) and 4224 (single block,
+Np=4224 — the wave-25 attempt died on an overtight env validation).
 
 PYTHONPATH=/root/repo:/root/.axon_site python tools/_exp_flashblk.py
 """
@@ -31,7 +32,7 @@ q, k, v = (
 scale = 1.0 / np.sqrt(hd)
 
 ref = None
-for blk in (384, 128, 256, 512, 1408, 4224):
+for blk in (384, 1408, 2176, 4224):
     os.environ["ANATOMIX_FLASH_BLK"] = str(blk)
     try:
         def fa(q, k, v):
