@@ -327,14 +327,17 @@ def _flash_attention(q, k, v, scale: float):
     )
 
     B, H, N, hd = q.shape
-    # candidate 456 divides N=4104 (4096 tokens + 8 registers) exactly —
-    # zero row padding vs blk=384's 4104->4224. Sweep via env
-    # (tools/_exp_flashblk.py); default recorded there. TRACE-TIME ONLY:
-    # the value is baked into the jit cache — two runs in one process
-    # with different env values keep the first trace.
+    # Default 1408 from the wave-25/26 HW sweep (tools/_exp_flashblk.py):
+    # at the production shape (N=4104 -> Np=4224) per-attn is 0.170 ms vs
+    # 0.426 at 384 — bigger blocks win at this tiny N until the kernel
+    # vmem-OOMs (4224 single-block needs a 22.8M scoped stack > 16M).
+    # End-to-end: ViT sliding 256³ 9.43 s -> 7.64 s (wave-26 C1).
+    # Override via env for sweeps. TRACE-TIME ONLY: the value is baked
+    # into the jit cache — two runs in one process with different env
+    # values keep the first trace.
     import os
 
-    _raw = os.environ.get("ANATOMIX_FLASH_BLK", "384")
+    _raw = os.environ.get("ANATOMIX_FLASH_BLK", "1408")
     try:
         blk = int(_raw)
     except ValueError as e:

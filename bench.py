@@ -248,11 +248,12 @@ def main():
             t1p = pipeline_time(
                 vit_fwd_packed, xf, n=4, reps=3, args=(vit_params,)
             )
-            # sw_batch 2: best since the round-3 tokenizer/decoder rework +
-            # fold-exit stitching (9.43 s vs 10.16 at B=1, wave 21); results
+            # sw_batch 1: with the flash blk=1408 default the B=1 window
+            # chain wins (wave-26 C1: 7.64 s vs 7.93 at B=2; the old B=2
+            # pick dates from blk=384 where it was 9.43 vs 10.16); results
             # are batch-invariant so this is purely an execution knob
             ext_vit = make_feature_extractor(
-                vit_cfg, vit_params, sw_batch_size=2, overlap=0.8,
+                vit_cfg, vit_params, sw_batch_size=1, overlap=0.8,
                 compute_dtype=compute_dtype,
             )
             t2 = pipeline_time(
