@@ -247,6 +247,12 @@ def make_feature_extractor(
                     emit=emit,
                 )
 
+            # single-channel volumes ride the packed 4-D window form
+            # (primus_apply handles both ranks; see sliding_window's
+            # accepts_4d contract — dodges the 128x lane-padding of
+            # (…, W, 1) tensors on every window slice)
+            vit_window_fn.accepts_4d = True
+
             return sliding_window_inference(
                 volume,
                 vit_window_fn,
@@ -383,9 +389,19 @@ def make_feature_extractor(
         emit = "fold" if scatter_kernel_eligible(
             max(volume.shape[3], roi_size[2]), roi_size[2], out_channels
         ) else "spatial"
+
+        def sliding_apply(windows):
+            return window_fn(p, windows, emit=emit)
+
+        # fused path + 1-channel model: slice packed 4-D windows (the
+        # fused entry consumes them via its block-input pack; dodges the
+        # 128x lane-padding of (…, W, 1) slices — see sliding_window)
+        sliding_apply.accepts_4d = (
+            conv_impl == "pallas_fused" and plan.config.input_nc == 1
+        )
         return sliding_window_inference(
             volume,
-            lambda windows: window_fn(p, windows, emit=emit),
+            sliding_apply,
             out_channels,
             roi_size=roi_size,
             sw_batch_size=sw_batch_size or 2,

@@ -47,6 +47,7 @@ from anatomix_tpu.ops.pallas.conv3x3 import (
     _space_to_depth,
     conv3x3_packed,
     prepack_conv,
+    space_to_depth_4d,
 )
 from anatomix_tpu.ops.pallas.conv_block import (
     _apply_act,
@@ -231,6 +232,19 @@ def prepack_fused(plan: UnetPlan, params: dict[str, Any],
                 b8=jnp.asarray(np.tile(b_eff, 8).astype(np.float32))[None],
                 act=act,
                 impl="entry4",
+                # block-input alternative for the 4-D (channel-less) entry:
+                # the window arrives already in block layout (the sliding
+                # path slices packed 4-D windows — see
+                # conv3x3.space_to_depth_4d), so entry4's fused
+                # spatial-conv+s2d form doesn't apply; same weights packed
+                # for the dense block conv instead
+                alt_block=dict(
+                    prepack_conv(
+                        w, b, spatial=spatials[idx], s2d="on", act=act,
+                        compute_dtype=compute_dtype, interpret=interpret,
+                    ),
+                    impl="block_dense",
+                ),
             )
         elif impl == "sparse_skip":
             p["fused"] = dict(
@@ -409,8 +423,19 @@ def unet_apply_fused(
                 continue
             break
 
-    feat = x.astype(compute_dtype)
-    in_block = False
+    if x.ndim == 4:
+        # channel-less (B, D, H, W) volume (input_nc == 1): enter block
+        # space straight from the packed 4-D form — avoids ever
+        # materializing the 128x-lane-padded (…, W, 1) tensor (see
+        # conv3x3.space_to_depth_4d). The entry conv then runs its
+        # block-input alternative pack.
+        if cfg.input_nc != 1:
+            raise ValueError("4-D input requires input_nc == 1")
+        feat = space_to_depth_4d(x.astype(compute_dtype))
+        in_block = True
+    else:
+        feat = x.astype(compute_dtype)
+        in_block = False
     enc_feats: list[tuple[jax.Array, bool]] = []
     exit_conv = max(
         (i for i, s in enumerate(plan.layers) if s.kind == "conv"),
@@ -461,6 +486,13 @@ def unet_apply_fused(
                     interpret=interpret,
                 )
                 in_block = True
+            elif impl == "entry4" and in_block:
+                # 4-D entry: the input is already block layout; run the
+                # dense block-input pack of the same entry conv
+                feat = _conv_block_dense(
+                    feat, packed["alt_block"], cfg.pad_type, compute_dtype,
+                    interpret,
+                )
             elif impl == "entry4":
                 # entry conv + space-to-depth as ONE stride-2 4^3 XLA conv
                 mode = "reflect" if cfg.pad_type == "reflect" else "constant"

@@ -599,8 +599,19 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     # stem: the XLA full-res Ci=1 conv is a pathological lane-1 loop
     # fusion that also swallows the following IN's statistics (16.8 ms of
     # the 49 ms round-3 trace) — run it as a dense block-space conv (MXU
-    # rate) with the IN+LeakyReLU riding a block-layout elementwise pass
-    xb = space_to_depth(x.astype(cd), interpret=interpret)
+    # rate) with the IN+LeakyReLU riding a block-layout elementwise pass.
+    # A 4-D (B, D, H, W) input (the sliding path's packed window form) or
+    # a (…, 1) volume both route through the packed channel-less s2d —
+    # the (…, W, 1) tensor is 128x lane-padded under T(8,128) so slicing
+    # or reading it costs ~1 GB at 128³ (conv3x3.space_to_depth_4d).
+    from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
+
+    if x.ndim == 4:
+        xb = space_to_depth_4d(x.astype(cd))
+    elif x.shape[-1] == 1:
+        xb = space_to_depth_4d(x[..., 0].astype(cd))
+    else:
+        xb = space_to_depth(x.astype(cd), interpret=interpret)
     yb = dense_block_conv_train(
         xb, tok["stem"]["w"].astype(cd),
         tok["stem"].get("b"), act="none", pad_type="zeros",
@@ -784,13 +795,18 @@ def primus_apply(
             tokenizer_impl == "auto" and jax.default_backend() != "cpu"
         )  # per-stage sparse/XLA gating lives in _tokenizer_v2_fused
         tok_fn = _tokenizer_v2_fused if use_fused else _tokenizer_v2
+        # 4-D (B, D, H, W) channel-less input: the fused tokenizer packs
+        # it directly (space_to_depth_4d); the XLA tokenizer needs the
+        # explicit channel dim
+        x_tok = x[..., None] if x.ndim == 4 and not use_fused else x
         grid = tok_fn(
-            cfg, params["tokenizer"], x, compute_dtype=compute_dtype
+            cfg, params["tokenizer"], x_tok, compute_dtype=compute_dtype
         )
     else:
         p = cfg.patch_embed_size
         grid = conv3d(
-            x, params["tokenizer"]["proj"]["w"],
+            x if x.ndim == 5 else x[..., None],
+            params["tokenizer"]["proj"]["w"],
             params["tokenizer"]["proj"].get("b"),
             stride=p, padding="VALID", compute_dtype=compute_dtype,
         )

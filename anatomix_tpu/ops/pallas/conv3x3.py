@@ -244,6 +244,21 @@ def _depth_to_space(y):
     return z.reshape(B, 2 * d, 2 * h, 2 * w, C)
 
 
+def space_to_depth_4d(x4):
+    """Channel-less (B, D, H, W) volume -> block layout (B, d, h, w, 8),
+    same (ad, ah, aw)-major lane order as `_space_to_depth` at C=1.
+
+    The 4-D form exists because a (…, W, C=1) tensor is physically
+    lane-padded 128x under the TPU's T(8,128) tiling (a 256³ f32 volume
+    occupies ~8.6 GB of HBM); the 4-D view tiles (H, W) instead — zero
+    padding — so per-window dynamic slices in the sliding path read 8 MB
+    instead of ~1 GB (XLA only, no Pallas needed: the source is packed)."""
+    B, D, H, W = x4.shape
+    y = x4.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2)
+    y = y.transpose(0, 1, 3, 5, 2, 4, 6)
+    return y.reshape(B, D // 2, H // 2, W // 2, 8)
+
+
 _PAD_MODES = {"reflect": "reflect", "replicate": "edge", "zeros": "constant"}
 
 

@@ -118,7 +118,8 @@ def blend_weight_map(image_size, starts: np.ndarray, imp: np.ndarray):
 
 
 def _pad_to_roi(volume, roi_size):
-    """Symmetric zero-pad spatial dims up to at least roi (MONAI `pad_nd`)."""
+    """Symmetric zero-pad spatial dims up to at least roi (MONAI `pad_nd`).
+    Accepts (1, D, H, W, C) or the channel-less (1, D, H, W) form."""
     spatial = volume.shape[1:4]
     pads = [(0, 0)]
     crops = []
@@ -127,7 +128,8 @@ def _pad_to_roi(volume, roi_size):
         half = diff // 2
         pads.append((half, diff - half))
         crops.append((half, half + img))
-    pads.append((0, 0))
+    if volume.ndim == 5:
+        pads.append((0, 0))
     if any(p != (0, 0) for p in pads):
         volume = jnp.pad(volume, pads)
     return volume, crops
@@ -167,7 +169,15 @@ def _scan_windows(
     imp_factors=None,  # (per-axis f64 factors, clamp floor) — kernel path
     interpret: bool = False,
 ):
-    D, H, W, C = volume3d.shape
+    if volume3d.ndim == 3:
+        # channel-less packed form (C == 1 and apply_fn.accepts_4d): the
+        # (…, W, 1) 4-D view is 128x lane-padded under T(8,128), so a
+        # 128³ f32 window slice reads/writes ~1 GB of physical HBM per
+        # window; the 3-D view tiles (H, W) — 8 MB per slice
+        D, H, W = volume3d.shape
+        C = 1
+    else:
+        D, H, W, C = volume3d.shape
     r0, r1, r2 = roi_size
     M = starts.shape[0]
     n_chunks = M // sw_batch_size
@@ -191,6 +201,10 @@ def _scan_windows(
         acc0 = jax.lax.pcast(acc0, (vary_axis,), to="varying")
 
     def slice_window(s):
+        if volume3d.ndim == 3:
+            return jax.lax.dynamic_slice(
+                volume3d, (s[0], s[1], s[2]), (r0, r1, r2)
+            )
         return jax.lax.dynamic_slice(
             volume3d, (s[0], s[1], s[2], 0), (r0, r1, r2, C)
         )
@@ -342,6 +356,14 @@ def sliding_window_inference(
     if volume.ndim != 5 or volume.shape[0] != 1:
         raise ValueError("volume must be (1, D, H, W, C)")
     roi_size = tuple(roi_size)
+
+    # single-channel volumes: when apply_fn opts in (`accepts_4d`), drop
+    # the channel dim BEFORE padding/slicing — a (…, W, 1) tensor is
+    # physically 128x lane-padded on TPU, so every per-window dynamic
+    # slice otherwise moves ~1 GB instead of 8 MB (128³ f32). apply_fn
+    # then receives (B, r0, r1, r2) windows.
+    if volume.shape[-1] == 1 and getattr(apply_fn, "accepts_4d", False):
+        volume = volume[..., 0]
 
     padded, crops = _pad_to_roi(volume, roi_size)
     spatial = padded.shape[1:4]

@@ -268,3 +268,48 @@ def test_unet_fused_extent_guard_demotes_and_matches(rng):
         )
     ).astype(np.float32)
     assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
+
+
+def test_unet_fused_4d_entry_matches_5d(rng, monkeypatch):
+    """The channel-less (B, D, H, W) entry — the sliding path's packed
+    window form, which dodges the 128x lane-padding of (…, W, 1)
+    slices — must produce exactly the same forward as the 5-D input,
+    under both entry impls (default block_dense, and the entry4 gate's
+    block-input alternative pack)."""
+    import anatomix_tpu.models.unet_fused as uf
+    from anatomix_tpu.extract import fold_batchnorm
+    from anatomix_tpu.models.unet import (
+        UnetConfig, build_plan, init_params,
+    )
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=2,
+                   ngf=16)
+    )
+    params = init_params(plan, jax.random.PRNGKey(0))
+    fplan, fparams = fold_batchnorm(plan, params)
+    fparams = jax.tree_util.tree_map(jnp.asarray, fparams)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 16, 1),
+                          jnp.float32)
+
+    for entry4 in (False, True):
+        monkeypatch.setattr(uf, "_ENTRY4", entry4)
+        pf = uf.prepack_fused(
+            fplan, fparams, input_spatial=(16, 16, 16),
+            compute_dtype=jnp.float32, interpret=True,
+        )
+        entry_impl = pf["0"]["fused"]["impl"]
+        assert entry_impl == ("entry4" if entry4 else "block_dense")
+        ref = np.asarray(uf.unet_apply_fused(
+            fplan, pf, x, compute_dtype=jnp.float32, interpret=True
+        ))
+        got = np.asarray(uf.unet_apply_fused(
+            fplan, pf, x[..., 0], compute_dtype=jnp.float32,
+            interpret=True,
+        ))
+        assert got.shape == ref.shape
+        # same weights; entry4's 4-D route runs the block-input pack of
+        # the identical conv, so only GEMM association order differs
+        assert np.abs(got - ref).max() <= 1e-4 * np.abs(ref).max(), (
+            f"entry4={entry4}"
+        )

@@ -198,3 +198,33 @@ def test_pallas_scatter_kernel_matches_xla(monkeypatch, mode):
         sliding_window_inference(vol, apply_fn, interpret=True, **kw)
     )
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_accepts_4d_windows_match_5d():
+    """apply_fn.accepts_4d contract: a single-channel volume is sliced as
+    packed (B, r, r, r) windows (dodging the 128x lane-padding of
+    (…, W, 1) slices on TPU) with identical stitched output."""
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(
+        rng.standard_normal((1, 24, 24, 24, 1)).astype(np.float32)
+    )
+    w = jnp.asarray(rng.standard_normal((1, 8)).astype(np.float32))
+
+    def f5(windows):  # (B, r, r, r, 1) -> (B, r, r, r, 8)
+        return windows * w[None, None, None]
+
+    def f4(windows):  # (B, r, r, r) -> (B, r, r, r, 8)
+        return windows[..., None] * w[None, None, None]
+
+    f4.accepts_4d = True
+    kw = dict(out_channels=8, roi_size=(16, 16, 16), sw_batch_size=2,
+              overlap=0.5, mode="gaussian")
+    ref = np.asarray(sliding_window_inference(vol, f5, **kw))
+    got = np.asarray(sliding_window_inference(vol, f4, **kw))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+
+    # volumes needing pre-roi padding take the 4-D _pad_to_roi branch
+    small = vol[:, :12, :14, :24]
+    ref = np.asarray(sliding_window_inference(small, f5, **kw))
+    got = np.asarray(sliding_window_inference(small, f4, **kw))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)

@@ -442,3 +442,29 @@ def test_tokenizer_prepack_matches_in_graph(rng):
     b = _tokenizer_v2_fused(cfg, pp["tokenizer"], x,
                             compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_primus_4d_input_matches_5d(rng):
+    """The channel-less (B, D, H, W) input (the sliding path's packed
+    window form — see sliding_window's accepts_4d contract) must equal
+    the (…, 1) input bit-for-bit under both tokenizer impls."""
+    cfg = PrimusConfig(
+        embed_dim=64, eva_depth=1, eva_numheads=2,
+        patch_embed_size=(8, 8, 8), input_shape=(32, 32, 32),
+        num_register_tokens=2, tokenizer_base_features=16, in_eps=1e-2,
+        num_classes=8,
+    )
+    params = init_primus_params(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    for impl in ("xla", "fused"):
+        ref = np.asarray(primus_apply(
+            cfg, params, x, compute_dtype=jnp.float32,
+            tokenizer_impl=impl,
+        ))
+        got = np.asarray(primus_apply(
+            cfg, params, x[..., 0], compute_dtype=jnp.float32,
+            tokenizer_impl=impl,
+        ))
+        np.testing.assert_array_equal(got, ref, err_msg=impl)
