@@ -205,6 +205,14 @@ def make_feature_extractor(
         FLOPs. Parity vs 'sliding' is quantified in
         tests/test_extract.py::test_full_tiled_vs_sliding.
       * 'auto' — 'full' for batch/none norms, 'sliding' otherwise.
+
+    Speed/fidelity guidance for instance-norm models at 94M/256³ (the
+    wave-26 HW Pareto, PERF.md round 4a): reference-exact sliding at
+    overlap 0.8 is 20.9 s; `overlap=0.5` is 1.72 s at cosine 0.8715 to
+    the reference features; `full_tiled` is 0.87 s at 0.7987. The default
+    stays the reference-exact overlap-0.8 — pass `overlap=0.5` when
+    throughput matters more than exact reference feature definitions
+    (the cosine gap is instance-norm context, not kernel error).
     """
     # ViT backbone: fixed 128³ input -> sliding windows only
     # ("amenable to sliding window", reference README.md:47)

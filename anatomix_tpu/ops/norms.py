@@ -15,6 +15,9 @@ fp32 norms).
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -163,6 +166,86 @@ def batch_norm_inference(
     return (x.astype(jnp.float32) * inv + shift).astype(x.dtype)
 
 
+def _bn_train_impl(x, scale, bias, eps, axis_name):
+    """Shared forward: returns (y, mean, biased var, inv)."""
+    x32 = x.astype(jnp.float32)
+    reduce_axes = (0, 1, 2, 3)
+    mean = jnp.mean(x32, axis=reduce_axes)
+    mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - jnp.square(mean)  # biased
+    inv = jax.lax.rsqrt(var + eps)
+    if x.dtype == jnp.float32:
+        y = (x32 - mean) * inv
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    else:
+        # sub-f32 inputs: fold (mean, invstd, scale, bias) into a
+        # per-channel affine applied in the input dtype — the f32
+        # materialization of the normalized volume (plus its VJP) was
+        # ~30 ms of the traced pretraining step. Subtract-first form:
+        # (x - mean_b) is exact in bf16 near the mean (Sterbenz), so the
+        # rounding error scales with the DEVIATION, not the DC offset —
+        # the naive x*a + b form loses |mean*a|*2^-8 to cancellation when
+        # |mean| >> std (ADVICE r3; test_ops_parity covers N(50, 1)).
+        # The channel-mean's own bf16 quantization is folded back into
+        # the shift in f32.
+        a = inv * scale.astype(jnp.float32)
+        m_b = mean.astype(x.dtype)
+        bshift = bias.astype(jnp.float32) + (
+            m_b.astype(jnp.float32) - mean
+        ) * a
+        y = (x - m_b) * a.astype(x.dtype) + bshift.astype(x.dtype)
+    return y.astype(x.dtype), mean, var, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _bn_train_norm(x, scale, bias, eps, axis_name):
+    """(y, mean, biased var) with a hand 2-reduction backward.
+
+    XLA's autodiff through the mean/var graph re-materializes several
+    full-size f32 intermediates (~36 ms of the 274 ms pretraining step,
+    wave-26 trace); the analytic BN adjoint is two fused reductions
+    (sum dy, sum dy·x̂) plus one elementwise pass."""
+    y, mean, var, _ = _bn_train_impl(x, scale, bias, eps, axis_name)
+    return y, mean, var
+
+
+def _bn_train_norm_fwd(x, scale, bias, eps, axis_name):
+    y, mean, var, inv = _bn_train_impl(x, scale, bias, eps, axis_name)
+    return (y, mean, var), (x, mean, inv, scale)
+
+
+def _bn_train_norm_bwd(eps, axis_name, res, cots):
+    x, mean, inv, scale = res
+    dy, dmean, dvar = cots
+    n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    dy32 = dy.astype(jnp.float32)
+    xc = x.astype(jnp.float32) - mean
+    xhat = xc * inv
+    s_dy = jnp.sum(dy32, axis=(0, 1, 2, 3))
+    s_dyx = jnp.sum(dy32 * xhat, axis=(0, 1, 2, 3))
+    if axis_name is not None:
+        n = n * jax.lax.psum(1, axis_name)
+        s_dy = jax.lax.psum(s_dy, axis_name)
+        s_dyx = jax.lax.psum(s_dyx, axis_name)
+    a = scale.astype(jnp.float32) * inv
+    dx = a * (dy32 - s_dy / n - xhat * (s_dyx / n))
+    # running-stat cotangents: zero in the training step (the loss does
+    # not read the updated stats) but handled exactly — d mean/dx = 1/n,
+    # d var/dx = 2(x − mean)/n; rides the same elementwise fusion
+    dx = dx + (dmean + dvar * 2.0 * xc) / n
+    return (
+        dx.astype(x.dtype),
+        s_dyx.astype(scale.dtype),
+        s_dy.astype(scale.dtype),
+    )
+
+
+_bn_train_norm.defvjp(_bn_train_norm_fwd, _bn_train_norm_bwd)
+
+
 def batch_norm_train(
     x: jax.Array,
     running_mean: jax.Array,
@@ -181,42 +264,21 @@ def batch_norm_train(
     updated with the *unbiased* variance, exactly like torch.
 
     If `axis_name` is given, statistics are all-reduced across that mesh axis
-    (the TPU-native equivalent of SyncBatchNorm over ICI).
+    (the TPU-native equivalent of SyncBatchNorm over ICI). The backward is
+    the hand analytic adjoint (`_bn_train_norm`); opt out with
+    ANATOMIX_BN_VJP=0 (trace-time only).
     """
-    x32 = x.astype(jnp.float32)
-    reduce_axes = (0, 1, 2, 3)
-    mean = jnp.mean(x32, axis=reduce_axes)
-    mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
+    if os.environ.get("ANATOMIX_BN_VJP", "1") == "1":
+        y, mean, var = _bn_train_norm(x, scale, bias, eps, axis_name)
+    else:
+        y, mean, var, _ = _bn_train_impl(x, scale, bias, eps, axis_name)
     n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
     if axis_name is not None:
-        mean = jax.lax.pmean(mean, axis_name)
-        mean_sq = jax.lax.pmean(mean_sq, axis_name)
         n = n * jax.lax.psum(1, axis_name)
-    var = mean_sq - jnp.square(mean)  # biased
-    if x.dtype == jnp.float32:
-        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
-    else:
-        # sub-f32 inputs: fold (mean, invstd, scale, bias) into a
-        # per-channel affine applied in the input dtype — the f32
-        # materialization of the normalized volume (plus its VJP) was
-        # ~30 ms of the traced pretraining step. Subtract-first form:
-        # (x - mean_b) is exact in bf16 near the mean (Sterbenz), so the
-        # rounding error scales with the DEVIATION, not the DC offset —
-        # the naive x*a + b form loses |mean*a|*2^-8 to cancellation when
-        # |mean| >> std (ADVICE r3; test_ops_parity covers N(50, 1)).
-        # The channel-mean's own bf16 quantization is folded back into
-        # the shift in f32.
-        a = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
-        m_b = mean.astype(x.dtype)
-        bshift = bias.astype(jnp.float32) + (
-            m_b.astype(jnp.float32) - mean
-        ) * a
-        y = (x - m_b) * a.astype(x.dtype) + bshift.astype(x.dtype)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased
-    return y.astype(x.dtype), new_mean, new_var
+    return y, new_mean, new_var
 
 
 def channel_demean(x: jax.Array) -> jax.Array:

@@ -359,3 +359,73 @@ def test_even_chunk_sizes_block_invariant():
             assert sum(full) == 2 * s and all(c > 0 for c in full)
     with pytest.raises(ValueError):
         e(3, 4)
+
+
+def test_batch_norm_train_custom_vjp_matches_autodiff(monkeypatch):
+    """The hand analytic BN adjoint (_bn_train_norm) == XLA autodiff of
+    the same forward, including cotangents flowing through the returned
+    running-stat updates (f32; the default train path uses this VJP)."""
+    from anatomix_tpu.ops.norms import batch_norm_train
+
+    rng = np.random.default_rng(0)
+    C = 6
+    x = jnp.asarray(rng.standard_normal((2, 5, 4, 3, C)).astype(np.float32))
+    rm = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    rv = jnp.asarray(np.abs(rng.standard_normal(C)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    cots = (
+        jnp.asarray(rng.standard_normal(x.shape).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32)),
+        jnp.asarray(rng.standard_normal(C).astype(np.float32)),
+    )
+
+    def run():
+        def f(x, scale, bias):
+            return batch_norm_train(x, rm, rv, scale, bias)
+
+        out, vjp = jax.vjp(f, x, scale, bias)
+        return out, vjp(cots)
+
+    monkeypatch.setenv("ANATOMIX_BN_VJP", "0")
+    out_ref, grads_ref = jax.jit(run)()
+    monkeypatch.setenv("ANATOMIX_BN_VJP", "1")
+    out_got, grads_got = jax.jit(run)()
+
+    for a, b in zip(out_got, out_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for name, a, b in zip("x scale bias".split(), grads_got, grads_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(b).max()),
+            err_msg=f"d{name}",
+        )
+
+
+def test_batch_norm_train_custom_vjp_bf16_close_to_f32():
+    """bf16 inputs: the custom adjoint's dx tracks the f32 analytic
+    gradient (the autodiff of the bf16 folded apply only adds rounding
+    noise on top — see the subtract-first fold notes)."""
+    from anatomix_tpu.ops.norms import batch_norm_train
+
+    rng = np.random.default_rng(1)
+    C = 8
+    x32 = jnp.asarray(
+        rng.standard_normal((2, 8, 8, 8, C)).astype(np.float32)
+    )
+    t = jnp.asarray(rng.standard_normal((2, 8, 8, 8, C)).astype(np.float32))
+    rm, rv = jnp.zeros((C,)), jnp.ones((C,))
+    scale = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+
+    def loss(x):
+        y, _, _ = batch_norm_train(x, rm, rv, scale, bias)
+        return jnp.sum((y.astype(jnp.float32) - t) ** 2)
+
+    g32 = np.asarray(jax.jit(jax.grad(loss))(x32))
+    gbf = np.asarray(
+        jax.jit(jax.grad(loss))(x32.astype(jnp.bfloat16)), np.float32
+    )
+    denom = np.abs(g32).max() + 1e-8
+    assert np.abs(gbf - g32).max() / denom < 5e-2

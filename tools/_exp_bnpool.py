@@ -63,8 +63,14 @@ def main():
     scale = jnp.ones((C,), jnp.float32)
     bias = jnp.zeros((C,), jnp.float32)
 
+    import os
+
     def bn_auto(x, scale, bias):
+        # the production default now IS the custom VJP (ANATOMIX_BN_VJP=1,
+        # read at trace time) — force the autodiff arm off explicitly
+        os.environ["ANATOMIX_BN_VJP"] = "0"
         y, _, _ = batch_norm_train(x, rm, rv, scale, bias)
+        os.environ["ANATOMIX_BN_VJP"] = "1"
         return y
 
     @jax.custom_vjp
