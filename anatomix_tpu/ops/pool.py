@@ -40,11 +40,13 @@ def _reduce_max(x, w, s):
 def _max_pool2x(x):
     """2x2x2 stride-2 MaxPool with an argmax-routed backward.
 
-    XLA's built-in reduce_window VJP lowers to select-and-scatter — 8.3 ms
-    of the traced 6M pretraining step. The adjoint only needs to route
-    each output gradient to the FIRST max inside its (non-overlapping)
-    window (torch/XLA tie rule), which is a window-slot argmax + one-hot
-    multiply — pure elementwise traffic."""
+    RETIRED from the default path (kept for the regression record): the
+    one-hot/argmax adjoint was built because select-and-scatter read
+    8.3 ms in the round-3 step trace, but the isolated wave-27 A/B
+    (tools/_exp_bnpool.py) measured the custom VJP at 13.6 ms vs XLA's
+    select-and-scatter at 6.4 ms on the (2,128³,16) train shape — the
+    one-hot lowers to s32 iota-eq broadcasts plus two full layout
+    shuffles. `max_pool` routes to the plain reduce_window again."""
     return _reduce_max(x, (2, 2, 2), (2, 2, 2))
 
 
@@ -73,16 +75,13 @@ _max_pool2x.defvjp(_mp2x_fwd, _mp2x_bwd)
 
 
 def max_pool(x: jax.Array, window: int = 2, stride: int | None = None):
-    """MaxPool over spatial dims of NDHWC (torch ceil_mode=False)."""
+    """MaxPool over spatial dims of NDHWC (torch ceil_mode=False).
+
+    Backward is XLA's select-and-scatter (first-max tie routing, matching
+    torch) — measured 2.1x faster than the retired argmax/one-hot custom
+    VJP (`_max_pool2x`, wave-27 A/B)."""
     w = _as3(window)
     s = _as3(stride if stride is not None else window)
-    if (
-        w == (2, 2, 2)
-        and s == (2, 2, 2)
-        and all(dim % 2 == 0 for dim in x.shape[1:4])
-        and jnp.issubdtype(x.dtype, jnp.floating)
-    ):
-        return _max_pool2x(x)
     return _reduce_max(x, w, s)
 
 

@@ -141,10 +141,11 @@ def test_pool2(rng, kind):
 
 @requires_torch
 def test_max_pool2x_grad_matches_torch_with_ties(rng):
-    """The argmax-routed custom VJP of the 2x stride-2 max pool must use
-    torch's tie rule (gradient to the FIRST max in (kd, kh, kw) window
-    order). ReLU'd inputs make exact-zero ties common, so this pins the
-    routing bit-exactly, not just on distinct values."""
+    """max_pool's backward (XLA select-and-scatter since the wave-27
+    revert of the slower argmax VJP) must use torch's tie rule (gradient
+    to the FIRST max in (kd, kh, kw) window order). ReLU'd inputs make
+    exact-zero ties common, so this pins the routing bit-exactly, not
+    just on distinct values."""
     import jax
     import torch
     import torch.nn.functional as F
@@ -167,6 +168,17 @@ def test_max_pool2x_grad_matches_torch_with_ties(rng):
     )
     gt = np.transpose(xt.grad.numpy(), (0, 2, 3, 4, 1))
     assert np.abs(gx - gt).max() == 0.0
+
+    # the retired argmax VJP stays torch-pinned too: the HW tier compares
+    # select-and-scatter against it to transfer tie parity to hardware
+    from anatomix_tpu.ops.pool import _max_pool2x
+
+    gc = np.asarray(
+        jax.grad(
+            lambda v: jnp.sum(_max_pool2x(v) * jnp.asarray(dy))
+        )(jnp.asarray(x))
+    )
+    assert np.abs(gc - gt).max() == 0.0
 
 
 def test_batch_norm_train_bf16_apply_matches_f32(rng):

@@ -237,10 +237,11 @@ def test_blend_scatter_kernel_matches_xla_hw(monkeypatch, mode):
 
 
 def test_max_pool2x_vjp_matches_xla_hw():
-    """Custom argmax-routed 2x2x2 max-pool VJP == XLA's select-and-scatter
-    adjoint on real hardware, including tie routing (VERDICT r3 #3: this
-    changed default train-path numerics; the CPU parity test alone does
-    not exercise the TPU lowering of the one-hot/argmax adjoint)."""
+    """XLA's select-and-scatter adjoint (the production max_pool backward
+    since the wave-27 revert) == the retired argmax-routed VJP on real
+    hardware, including tie routing. The custom VJP is pinned bit-exact
+    to torch's first-max rule by the CPU test, so this transfers torch
+    tie parity to the HW select-and-scatter lowering (VERDICT r3 #3)."""
     from anatomix_tpu.ops.pool import _max_pool2x, _reduce_max
 
     rng = np.random.default_rng(0)
@@ -286,11 +287,14 @@ def test_batch_norm_train_bf16_fold_hw():
         return y
 
     for offset in (0.0, 50.0):
-        x32 = jnp.asarray(base + offset)
-        ref = np.asarray(apply(x32), np.float32)
-        got = np.asarray(apply(x32.astype(jnp.bfloat16)), np.float32)
-        # output is ~scale-sized; bf16 apply should stay within a few
-        # bf16 ulps of the f32 result regardless of the DC offset
+        # quantize the INPUT first and reference it in f32: at offset 50
+        # the bf16 input quantization alone is ±0.125 (ulp(50)/2), which
+        # is not the fold's fault — the test isolates the bf16 APPLY path
+        # the fold changes (the wave-27 HW run failed at 4e-2 against the
+        # un-quantized reference for exactly this reason)
+        xb = jnp.asarray(base + offset).astype(jnp.bfloat16)
+        ref = np.asarray(apply(xb.astype(jnp.float32)), np.float32)
+        got = np.asarray(apply(xb), np.float32)
         denom = np.abs(ref).max() + 1e-6
         assert np.abs(got - ref).max() / denom < 4e-2, f"offset={offset}"
 

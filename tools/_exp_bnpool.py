@@ -108,7 +108,9 @@ def main():
     )(jax.random.PRNGKey(7))
 
     def bn_chain(bn):
-        def run(x, scale, bias):
+        # t rides as a jit ARGUMENT: a 268 MB closure constant exceeded
+        # the tunnel remote-compile payload (HTTP 413, first wave-27 run)
+        def run(x, scale, bias, t):
             for _ in range(8):
                 def loss(v, s, b):
                     return jnp.sum(
@@ -120,28 +122,29 @@ def main():
                 x = x + gx.astype(x.dtype) * 1e-3
                 scale = scale + gs * 1e-3
                 bias = bias + gb * 1e-3
-            return x, scale, bias
+            # pipeline_time sums a single array output; fold scale/bias in
+            return x + (jnp.sum(scale) + jnp.sum(bias)).astype(x.dtype)
         return run
 
     # numeric sanity first
     ga = jax.jit(jax.grad(
-        lambda v: jnp.sum(
-            (bn_auto(v, scale, bias).astype(jnp.float32) - t) ** 2
+        lambda v, tt: jnp.sum(
+            (bn_auto(v, scale, bias).astype(jnp.float32) - tt) ** 2
         )
-    ))(x)
+    ))(x, t)
     gh = jax.jit(jax.grad(
-        lambda v: jnp.sum(
-            (bn_hand(v, scale, bias).astype(jnp.float32) - t) ** 2
+        lambda v, tt: jnp.sum(
+            (bn_hand(v, scale, bias).astype(jnp.float32) - tt) ** 2
         )
-    ))(x)
+    ))(x, t)
     err = float(jnp.abs(ga.astype(jnp.float32)
                         - gh.astype(jnp.float32)).max())
     print(f"bn dx |auto - hand| max = {err:.3e}", flush=True)
 
     t_auto = pipeline_time(bn_chain(bn_auto), x, n=2, reps=3,
-                           args=(scale, bias))
+                           args=(scale, bias, t))
     t_hand = pipeline_time(bn_chain(bn_hand), x, n=2, reps=3,
-                           args=(scale, bias))
+                           args=(scale, bias, t))
     print(f"bn fwd+bwd autodiff : {t_auto / 8 * 1e3:.3f} ms", flush=True)
     print(f"bn fwd+bwd hand VJP : {t_hand / 8 * 1e3:.3f} ms", flush=True)
 
