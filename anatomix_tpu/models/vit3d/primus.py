@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any, Sequence
 
 import jax
@@ -748,6 +749,19 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
                     out_dtype=yb.dtype, interpret=interpret,
                 )
                 return y, True, True
+            if os.environ.get("ANATOMIX_D2S_INTERLEAVE", "1") == "1":
+                # emit the spatial minor layout straight from the kernel
+                # (kills the 4.5 ms (w,2C)->(2w,C) XLA relayout at the
+                # 128³ exit — wave-27 trace); plain d2s is the fallback
+                from anatomix_tpu.ops.pallas.reshuffle import (
+                    depth_to_space_interleave,
+                )
+
+                y = depth_to_space_interleave(
+                    yb, sub=jnp.tile(m, (1, 8)),
+                    out_dtype=jnp.float32, interpret=interpret,
+                )
+                return y, True, False
             y = _d2s(yb, sub=jnp.tile(m, (1, 8)),
                      out_dtype=jnp.float32, interpret=interpret)
             return y, True, False

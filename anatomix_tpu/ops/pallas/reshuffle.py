@@ -157,6 +157,107 @@ def depth_to_space(
     return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
+def _d2s_interleave_kernel(y_ref, out_ref, *, C: int, w: int):
+    # (td, th, w, 8C) -> (td, 2, th, 2, 2w, C): per (a, b) plane, the
+    # row-major identity (w, 2C) == (2w, C) IS the w-interleave
+    # (element (k, p*C+c) -> (2k+p, c)), so one minor-split value
+    # reshape emits the SPATIAL minor layout directly — the caller's
+    # final merge (d,2,h,2,2w,C)->(2d,2h,2w,C) touches only major dims
+    # and costs nothing (the plain d2s form pays a 4.5 ms XLA relayout
+    # for the same merge at the 128³x32 ViT exit, wave-27 trace).
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    for a in range(2):
+        for b in range(2):
+            g = (a * 2 + b) * 2 * C
+            out_ref[:, a, :, b] = (
+                y_ref[..., g: g + 2 * C].reshape(td, th, 2 * w, C)
+            ).astype(out_ref.dtype)
+
+
+def _d2s_interleave_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    for a in range(2):
+        for b in range(2):
+            g = (a * 2 + b) * 2 * C
+            plane = (
+                y_ref[..., g: g + 2 * C].astype(jnp.float32)
+                - s_ref[0, g: g + 2 * C]
+            )
+            out_ref[:, a, :, b] = plane.reshape(td, th, 2 * w, C).astype(
+                out_ref.dtype
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "out_dtype")
+)
+def depth_to_space_interleave(
+    y: jax.Array,
+    *,
+    sub: jax.Array | None = None,  # (B, 8C) f32 per-lane offset (demean)
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Block layout (B, d, h, w, 8C) -> spatial (B, 2d, 2h, 2w, C) with
+    the minor (2w, C) layout produced IN-KERNEL (see
+    `_d2s_interleave_kernel`); the trailing reshape merges major dims
+    only. Output identical to `depth_to_space`."""
+    B, d, h, w, c8 = y.shape
+    C = c8 // 8
+    out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    td, th = _pick_tile_2d(
+        d, h, 2 * w, max(C, 64) // 2,  # out tile lanes pad to >=128
+        max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize),
+    )
+    if sub is None:
+        kernel = functools.partial(_d2s_interleave_kernel, C=C, w=w)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    else:
+        kernel = functools.partial(_d2s_interleave_sub_kernel, C=C, w=w)
+        in_specs = [
+            pl.BlockSpec(
+                (td, th, w, c8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, c8), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ]
+
+    def one(v, *rest):
+        out6 = pl.pallas_call(
+            kernel,
+            grid=(d // td, h // th),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (td, 2, th, 2, 2 * w, C),
+                lambda i, j: (i, 0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (d, 2, h, 2, 2 * w, C), out_dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(v, *rest)
+        # (d,2,h,2,2w,C) -> (2d,2h,2w,C): major-dim merges only, free
+        return out6.reshape(2 * d, 2 * h, 2 * w, C)
+
+    if sub is None:
+        return jax.vmap(one)(y)
+    return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
+
+
 def _d2s_fold_kernel(y_ref, out_ref, scratch, *, C: int, g: int):
     # (td, th, w, 8C) -> (td, 2, th, 2, w/g, g*2C=128): per (a, b) plane,
     # pack g w-positions' 2C-lane fields into one full 128-lane row via

@@ -133,3 +133,30 @@ def test_reshuffle_vjps_are_adjoint(rng):
     b, vjp2 = jax.vjp(lambda v: depth_to_space_vjp(v, True), y)
     (dy,) = vjp2(b)
     np.testing.assert_array_equal(np.asarray(dy), np.asarray(y))
+
+
+@pytest.mark.parametrize("C", [16, 32])
+def test_depth_to_space_interleave_matches_plain(rng, C):
+    """The interleave-exit variant (spatial minor layout produced
+    in-kernel) == plain depth_to_space, with and without the fused
+    demean subtract."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space,
+        depth_to_space_interleave,
+    )
+
+    y = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 8, 8 * C)).astype(np.float32)
+    )
+    ref = np.asarray(depth_to_space(y, interpret=True))
+    got = np.asarray(depth_to_space_interleave(y, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    sub = jnp.asarray(rng.standard_normal((1, 8 * C)).astype(np.float32))
+    ref = np.asarray(
+        depth_to_space(y, sub=sub, out_dtype=jnp.float32, interpret=True)
+    )
+    got = np.asarray(depth_to_space_interleave(
+        y, sub=sub, out_dtype=jnp.float32, interpret=True
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

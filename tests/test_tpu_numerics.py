@@ -322,3 +322,25 @@ def test_d2s_fused_sub_matches_hw():
     )
     ref = plain - np.asarray(off_vol, np.float32)
     assert np.abs(fused - ref).max() < 1e-2
+
+
+def test_d2s_interleave_matches_plain_hw():
+    """The interleave-exit d2s (in-kernel (w,2C)->(2w,C) minor-split
+    reshape — new Mosaic territory, the ViT spatial exit default) ==
+    plain depth_to_space on real hardware, incl. the fused demean."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space,
+        depth_to_space_interleave,
+    )
+
+    rng = np.random.default_rng(2)
+    C = 32
+    y = jnp.asarray(
+        rng.standard_normal((1, 16, 16, 16, 8 * C)).astype(np.float32)
+    )
+    sub = jnp.asarray(rng.standard_normal((1, 8 * C)).astype(np.float32))
+    ref = np.asarray(depth_to_space(y, sub=sub, out_dtype=jnp.float32))
+    got = np.asarray(
+        depth_to_space_interleave(y, sub=sub, out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

@@ -26,8 +26,13 @@ echo "[wave28] D: re-run the two touched -m tpu tests"
 ANATOMIX_TPU_TESTS=1 timeout 1800 python -m pytest \
   tests/test_tpu_numerics.py::test_max_pool2x_vjp_matches_xla_hw \
   tests/test_tpu_numerics.py::test_batch_norm_train_bf16_fold_hw \
+  tests/test_tpu_numerics.py::test_d2s_interleave_matches_plain_hw \
   -m tpu -q -p no:cacheprovider > $L/w28_tputests.log 2>&1
 echo "[wave28] D rc=$?"
+if grep -q "FAIL" $L/w28_d2sprobe.log; then
+  echo "[wave28] interleave probe FAILED - bench runs with fallback"
+  export ANATOMIX_D2S_INTERLEAVE=0
+fi
 sleep 20
 echo "[wave28] E: FULL bench.py (budget 1500 s)"
 timeout 1700 python bench.py > $L/w28_bench.log 2>&1
