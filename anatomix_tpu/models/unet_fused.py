@@ -431,7 +431,19 @@ def unet_apply_fused(
         # block-input alternative pack.
         if cfg.input_nc != 1:
             raise ValueError("4-D input requires input_nc == 1")
-        feat = space_to_depth_4d(x.astype(compute_dtype))
+        import os as _os2
+
+        on_tpu = jax.default_backend() not in ("cpu",) or interpret
+        if on_tpu and _os2.environ.get("ANATOMIX_S2D_C1", "1") == "1":
+            # Pallas entry: the XLA form materializes a 64x-lane-padded
+            # (…, 2) intermediate (~1.2 ms per 128³ entry, wave-27 trace)
+            from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
+
+            feat = space_to_depth_c1(
+                x.astype(compute_dtype), interpret=interpret
+            )
+        else:
+            feat = space_to_depth_4d(x.astype(compute_dtype))
         in_block = True
     else:
         feat = x.astype(compute_dtype)

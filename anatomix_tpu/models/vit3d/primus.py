@@ -606,11 +606,24 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     # the (…, W, 1) tensor is 128x lane-padded under T(8,128) so slicing
     # or reading it costs ~1 GB at 128³ (conv3x3.space_to_depth_4d).
     from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
+    from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
+
+    _use_c1 = (
+        jax.default_backend() not in ("cpu",) or interpret
+    ) and os.environ.get("ANATOMIX_S2D_C1", "1") == "1"
+
+    def _s2d_c1(x4):
+        # Pallas channel-less entry unless gated off (the XLA form
+        # materializes a 64x-lane-padded (…, 2) intermediate — ~1.2 ms
+        # per 128³ entry, wave-27 trace)
+        if _use_c1:
+            return space_to_depth_c1(x4.astype(cd), interpret=interpret)
+        return space_to_depth_4d(x4.astype(cd))
 
     if x.ndim == 4:
-        xb = space_to_depth_4d(x.astype(cd))
+        xb = _s2d_c1(x)
     elif x.shape[-1] == 1:
-        xb = space_to_depth_4d(x[..., 0].astype(cd))
+        xb = _s2d_c1(x[..., 0])
     else:
         xb = space_to_depth(x.astype(cd), interpret=interpret)
     yb = dense_block_conv_train(

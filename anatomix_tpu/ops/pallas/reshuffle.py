@@ -386,6 +386,60 @@ def depth_to_space_fold(
     return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
+def _s2d_c1_kernel(v_ref, out_ref):
+    # v_ref: (td, 2, th, 2, 2w) channel-less; out_ref: (td, th, w, 8).
+    # Per (ad, ah): the free row-major identity (2w,) == (w, 2[aw]) is a
+    # minor-split reshape in VMEM (same Mosaic move as
+    # `_d2s_interleave_kernel`); lanes (ad*2+ah)*2 .. +2 hold (aw=0, 1).
+    td, th = v_ref.shape[0], v_ref.shape[2]
+    w = v_ref.shape[4] // 2
+    for ad in range(2):
+        for ah in range(2):
+            p = ad * 2 + ah
+            plane = v_ref[:, ad, :, ah]  # (td, th, 2w)
+            out_ref[..., p * 2: p * 2 + 2] = plane.reshape(td, th, w, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def space_to_depth_c1(x4: jax.Array, *, interpret: bool = False):
+    """Channel-less (B, D, H, W) -> block (B, d, h, w, 8), same lane
+    order as `conv3x3.space_to_depth_4d`, without the 64x-lane-padded
+    (…, 2) XLA intermediate that path materializes (~1.2 ms per 128³
+    entry, wave-27 trace: the 6-D (d,2,h,2,w,2) form pads 2 lanes to
+    128). The major-split reshape to (B, d, 2, h, 2, W) is free; the
+    (2w,) -> (w, 2) minor split happens in VMEM."""
+    B, D, H, W = x4.shape
+    d, h, w = D // 2, H // 2, W // 2
+    td, th = _pick_tile_2d(d, h, w, 16, x4.dtype.itemsize)
+
+    def one(v):
+        v6 = v.reshape(d, 2, h, 2, W)  # major splits: free
+        return pl.pallas_call(
+            _s2d_c1_kernel,
+            grid=(d // td, h // th),
+            in_specs=[
+                pl.BlockSpec(
+                    (td, 2, th, 2, W), lambda i, j: (i, 0, j, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (td, th, w, 8), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((d, h, w, 8), x4.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(v6)
+
+    return jax.vmap(one)(x4)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def space_to_depth(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     """(B, 2d, 2h, 2w, C) -> block layout (B, d, h, w, 8C)."""

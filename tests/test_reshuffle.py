@@ -160,3 +160,17 @@ def test_depth_to_space_interleave_matches_plain(rng, C):
         y, sub=sub, out_dtype=jnp.float32, interpret=True
     ))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_space_to_depth_c1_matches_4d_reference(rng):
+    """The channel-less Pallas entry kernel == the XLA space_to_depth_4d
+    reference (same (ad, ah, aw)-major lane order)."""
+    from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
+    from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
+
+    x4 = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 16)).astype(np.float32)
+    )
+    ref = np.asarray(space_to_depth_4d(x4))
+    got = np.asarray(space_to_depth_c1(x4, interpret=True))
+    np.testing.assert_array_equal(got, ref)

@@ -82,6 +82,44 @@ def main():
         print(f"v1 interleave reshape: FAIL {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
 
+    # --- production kernels built on the same minor-split move
+    try:
+        from anatomix_tpu.ops.pallas.reshuffle import (
+            depth_to_space_interleave,
+        )
+
+        sub = jnp.asarray(
+            rng.standard_normal((1, 8 * C)).astype(np.float32)
+        )
+        got = np.asarray(depth_to_space_interleave(
+            y, sub=sub, out_dtype=jnp.float32, interpret=INTERP
+        ))
+        ref2 = np.asarray(depth_to_space(
+            y, sub=sub, out_dtype=jnp.float32, interpret=INTERP
+        ))
+        err = np.abs(got - ref2).max()
+        print(f"depth_to_space_interleave: OK, max err {err:.2e}",
+              flush=True)
+    except Exception as e:  # noqa: BLE001 — probe
+        print(f"depth_to_space_interleave: FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+    try:
+        from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
+        from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
+
+        x4 = jnp.asarray(
+            rng.standard_normal((1, 2 * d, 2 * h, 2 * w))
+            .astype(np.float32)
+        )
+        got = np.asarray(space_to_depth_c1(x4, interpret=INTERP))
+        ref3 = np.asarray(space_to_depth_4d(x4))
+        err = np.abs(got - ref3).max()
+        print(f"space_to_depth_c1: OK, max err {err:.2e}", flush=True)
+    except Exception as e:  # noqa: BLE001 — probe
+        print(f"space_to_depth_c1: FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
     # --- pltpu.repeat semantics (np.repeat-like [e0,e0,e1,e1] vs
     # tile-like [e0,e1,e0,e1]) on the sublane axis
     def _kernel_rep(x_ref, out_ref):

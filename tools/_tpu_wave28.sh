@@ -29,10 +29,20 @@ ANATOMIX_TPU_TESTS=1 timeout 1800 python -m pytest \
   tests/test_tpu_numerics.py::test_d2s_interleave_matches_plain_hw \
   -m tpu -q -p no:cacheprovider > $L/w28_tputests.log 2>&1
 echo "[wave28] D rc=$?"
-if grep -q "FAIL" $L/w28_d2sprobe.log; then
+if grep -E "^(v1 interleave reshape|depth_to_space_interleave): FAIL" \
+    $L/w28_d2sprobe.log; then
   echo "[wave28] interleave probe FAILED - bench runs with fallback"
   export ANATOMIX_D2S_INTERLEAVE=0
 fi
+if grep -E "^space_to_depth_c1: FAIL" $L/w28_d2sprobe.log; then
+  echo "[wave28] s2d_c1 probe FAILED - bench runs with XLA entry"
+  export ANATOMIX_S2D_C1=0
+fi
+sleep 20
+echo "[wave28] D2: ViT fwd + sliding with the s2d_c1 entry + interleave exit"
+{ timeout 1200 python tools/_bench_vit.py && \
+  timeout 2400 python tools/_bench_sw2.py vit; } > $L/w28_vitsw.log 2>&1
+echo "[wave28] D2 rc=$?"
 sleep 20
 echo "[wave28] E: FULL bench.py (budget 1500 s)"
 timeout 1700 python bench.py > $L/w28_bench.log 2>&1
