@@ -499,6 +499,7 @@ def prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16):
     chunk step). Returns a params pytree with extra ('w0','w1','w2','b8')
     leaves on the sparse-eligible stage convs; `_tokenizer_v2_fused` uses
     them when present and their dtype matches."""
+    from anatomix_tpu.ops.pallas.conv3x3 import prepack_conv
     from anatomix_tpu.ops.pallas.conv_block_train import (
         pack_sparse_weights_jnp,
     )
@@ -506,6 +507,22 @@ def prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16):
     tok = params.get("tokenizer")
     if not isinstance(tok, dict) or "stages" not in tok:
         return params
+
+    # stem: pack the dense block-space form for the Pallas VALID kernel
+    # (inference only — the XLA dense_block_conv_train stays for the
+    # differentiable path, which never sees prepacked leaves). The XLA
+    # block conv is lane-poor (Ci_block=8) and ran 1.9 ms + 0.4 ms of
+    # relayout at 128³ in the wave-27 trace vs ~0.4 ms MXU-rate here.
+    stem = dict(tok["stem"])
+    stem["pallas"] = prepack_conv(
+        np.asarray(stem["w"], np.float32),
+        None if stem.get("b") is None else np.asarray(
+            stem["b"], np.float32
+        ),
+        s2d="on", act="none", compute_dtype=compute_dtype,
+        interpret=jax.default_backend() == "cpu",
+    )
+    tok = {**tok, "stem": stem}
 
     @jax.jit
     def _pack(w):
@@ -626,11 +643,24 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
         xb = _s2d_c1(x[..., 0])
     else:
         xb = space_to_depth(x.astype(cd), interpret=interpret)
-    yb = dense_block_conv_train(
-        xb, tok["stem"]["w"].astype(cd),
-        tok["stem"].get("b"), act="none", pad_type="zeros",
-        compute_dtype=cd,
-    )
+    stem_pallas = tok["stem"].get("pallas")
+    if (
+        stem_pallas is not None
+        and stem_pallas["w_packed"].dtype == cd
+        and os.environ.get("ANATOMIX_VIT_STEM_PALLAS", "1") == "1"
+    ):
+        # inference: prepacked Pallas dense block conv (MXU-rate); the
+        # XLA block conv below is lane-poor at Ci_block=8 (~2.3 ms of
+        # the 25 ms wave-27 ViT forward incl. relayouts)
+        from anatomix_tpu.models.unet_fused import _conv_block_dense
+
+        yb = _conv_block_dense(xb, stem_pallas, "zeros", cd, interpret)
+    else:
+        yb = dense_block_conv_train(
+            xb, tok["stem"]["w"].astype(cd),
+            tok["stem"].get("b"), act="none", pad_type="zeros",
+            compute_dtype=cd,
+        )
     yb = _instance_norm_any(yb, True, eps=cfg.in_eps, act_fn=lrelu)
     y = None  # (block yb) xor (dense y): materialize one representation
 

@@ -407,9 +407,11 @@ def test_tokenizer_fused_matches_xla(rng):
 
 
 def test_tokenizer_prepack_matches_in_graph(rng):
-    """`prepack_primus_tokenizer` output drives the fused tokenizer to the
-    exact same result as in-graph packing (the prepack only precomputes
-    the same gathers once)."""
+    """`prepack_primus_tokenizer` output drives the fused tokenizer to
+    the same result as in-graph packing. Stage convs are the same gathers
+    precomputed once (exact); the stem additionally switches to the
+    Pallas dense block conv (GEMM association order differs -> tight
+    tolerance, not bit-exact)."""
     import jax
     import jax.numpy as jnp
 
@@ -428,20 +430,22 @@ def test_tokenizer_prepack_matches_in_graph(rng):
     )
     params = init_primus_params(cfg, jax.random.PRNGKey(0))
     pp = prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.float32)
-    # at least one stage conv actually got packed
+    # at least one stage conv actually got packed, and the stem did
     assert any(
         "w0" in blk["conv1"]
         for st in pp["tokenizer"]["stages"]
         for blk in st["blocks"]
     )
+    assert "pallas" in pp["tokenizer"]["stem"]
     x = jnp.asarray(
         rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32)
     )
-    a = _tokenizer_v2_fused(cfg, params["tokenizer"], x,
-                            compute_dtype=jnp.float32)
-    b = _tokenizer_v2_fused(cfg, pp["tokenizer"], x,
-                            compute_dtype=jnp.float32)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    a = np.asarray(_tokenizer_v2_fused(cfg, params["tokenizer"], x,
+                                       compute_dtype=jnp.float32))
+    b = np.asarray(_tokenizer_v2_fused(cfg, pp["tokenizer"], x,
+                                       compute_dtype=jnp.float32))
+    rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-8)
+    assert rel < 1e-5, rel
 
 
 def test_primus_4d_input_matches_5d(rng):
