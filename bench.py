@@ -220,9 +220,17 @@ def main():
 
         def _vit():
             from anatomix_tpu.models.vit3d import load_primus_v2, primus_apply
+            from anatomix_tpu.models.vit3d.primus import (
+                prepack_primus_tokenizer,
+            )
 
             vit_cfg, vit_params = load_primus_v2(
                 ANATOMIX_VARIANTS["anatomix-dev-vit"]["vit_kwargs"]
+            )
+            # production inference config: tokenizer weights prepacked
+            # (sparse stage GEMMs + Pallas stem) exactly as extract.py does
+            vit_params = prepack_primus_tokenizer(
+                vit_cfg, vit_params, compute_dtype=compute_dtype
             )
 
             def vit_fwd(v, p):
