@@ -344,3 +344,56 @@ def test_d2s_interleave_matches_plain_hw():
         depth_to_space_interleave(y, sub=sub, out_dtype=jnp.float32)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_s2d_c1_matches_xla_hw():
+    """The channel-less Pallas entry (ViT/fused-UNet 4-D default,
+    ANATOMIX_S2D_C1) == XLA space_to_depth_4d on real hardware."""
+    from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
+    from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
+
+    rng = np.random.default_rng(5)
+    x4 = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 32)).astype(np.float32)
+    )
+    ref = np.asarray(space_to_depth_4d(x4))
+    got = np.asarray(space_to_depth_c1(x4))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_vit_stem_pallas_matches_xla_hw():
+    """The prepacked Pallas ViT stem (dense block conv, inference
+    default) == the differentiable XLA block conv on real hardware, at
+    the production channel ladder (C=1 -> 32) in bf16."""
+    from anatomix_tpu.models.vit3d.primus import (
+        PrimusConfig,
+        _tokenizer_v2_fused,
+        init_primus_params,
+        prepack_primus_tokenizer,
+    )
+
+    cfg = PrimusConfig(
+        embed_dim=64, eva_depth=1, eva_numheads=2,
+        patch_embed_size=(8, 8, 8), input_shape=(32, 32, 32),
+        num_register_tokens=2, tokenizer_base_features=32, in_eps=1e-2,
+        num_classes=8,
+    )
+    params = init_primus_params(cfg, jax.random.PRNGKey(0))
+    pp = prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16)
+    assert "pallas" in pp["tokenizer"]["stem"]
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(
+        rng.standard_normal((1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    ref = np.asarray(
+        _tokenizer_v2_fused(cfg, params["tokenizer"], x,
+                            compute_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    got = np.asarray(
+        _tokenizer_v2_fused(cfg, pp["tokenizer"], x,
+                            compute_dtype=jnp.bfloat16)
+    ).astype(np.float32)
+    # bf16 GEMM association order differs between the Pallas kernel and
+    # the XLA conv; both paths' stage convs also repack in bf16
+    rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
+    assert rel < 3e-2, rel

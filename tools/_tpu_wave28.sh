@@ -27,6 +27,8 @@ ANATOMIX_TPU_TESTS=1 timeout 1800 python -m pytest \
   tests/test_tpu_numerics.py::test_max_pool2x_vjp_matches_xla_hw \
   tests/test_tpu_numerics.py::test_batch_norm_train_bf16_fold_hw \
   tests/test_tpu_numerics.py::test_d2s_interleave_matches_plain_hw \
+  tests/test_tpu_numerics.py::test_s2d_c1_matches_xla_hw \
+  tests/test_tpu_numerics.py::test_vit_stem_pallas_matches_xla_hw \
   -m tpu -q -p no:cacheprovider > $L/w28_tputests.log 2>&1
 echo "[wave28] D rc=$?"
 if grep -E "^(v1 interleave reshape|depth_to_space_interleave): FAIL" \
