@@ -434,9 +434,11 @@ def unet_apply_fused(
         import os as _os2
 
         on_tpu = jax.default_backend() not in ("cpu",) or interpret
-        if on_tpu and _os2.environ.get("ANATOMIX_S2D_C1", "1") == "1":
-            # Pallas entry: the XLA form materializes a 64x-lane-padded
-            # (…, 2) intermediate (~1.2 ms per 128³ entry, wave-27 trace)
+        if on_tpu and _os2.environ.get("ANATOMIX_S2D_C1", "0") == "1":
+            # opt-in only: the kernel's minor-split reshape is an
+            # unsupported Mosaic shape cast on real HW (wave-28 probe);
+            # the XLA form's 64x-lane-padded (…, 2) intermediate costs
+            # ~1.2 ms per 128³ entry (wave-27 trace)
             from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
 
             feat = space_to_depth_c1(

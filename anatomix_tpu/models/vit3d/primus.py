@@ -627,7 +627,11 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
 
     _use_c1 = (
         jax.default_backend() not in ("cpu",) or interpret
-    ) and os.environ.get("ANATOMIX_S2D_C1", "1") == "1"
+    ) and os.environ.get("ANATOMIX_S2D_C1", "0") == "1"
+    # default OFF: the s2d_c1 kernel's (…,2w)->(…,w,2) minor-split
+    # reshape is an unsupported Mosaic shape cast on real HW (wave-28
+    # probe, tools/logs/w28_d2sprobe.log) — interpret mode accepts it.
+    # The XLA space_to_depth_4d entry (~1.2 ms at 128³) is the fallback.
 
     def _s2d_c1(x4):
         # Pallas channel-less entry unless gated off (the XLA form
@@ -738,6 +742,85 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     return y
 
 
+def _decoder_block_space(dec, grid, compute_dtype=None, fuse_demean=False,
+                         interpret=False, emit="spatial"):
+    """Whole decoder tower in block space: the three ×2 transposed-conv
+    stages are per-sub-voxel GEMMs on the 16³ grid (never materializing
+    the 32³/64³ intermediate layouts or their LayerNorm relayouts — the
+    wave-27 trace charged ~2 ms of the 25 ms ViT forward to them), and
+    ONE factor-8 Pallas reshuffle (`reshuffle.depth_to_space8`) emits the
+    full-res volume (spatial minor layout or the folded flat-lane form).
+
+    Math-identical to the stage-by-stage path: a stride-2 kernel-2
+    transposed conv is one GEMM whose output columns are (kd, kh, kw,
+    co)-major, and the inter-stage bias/LayerNorm/GELU act per sub-voxel
+    over channels — layout-independent. Returns (volume, demeaned,
+    folded) like `_decoder`, or None when the config is outside the
+    kernel's envelope (then the caller falls through to `_decoder`'s
+    stage-by-stage path). Reference semantics: the transposed-conv
+    decoder of `/root/reference/anatomix/model/vit3d/architectures.py`
+    (upstream Primus patch decoder)."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        d2s8_supported,
+        depth_to_space8,
+    )
+
+    n = len(dec)
+    C = dec[-1]["w"].shape[4]
+    if n != 3 or not d2s8_supported(C):
+        return None
+    if emit not in ("spatial", "fold"):
+        return None
+    # fold-emit only composes with the fused demean: a non-demean
+    # out_norm is applied by the caller on the SPATIAL volume (matching
+    # `_decoder`, which folds only inside its fuse_demean branch)
+    fold = emit == "fold" and fuse_demean
+    if fold and (8 * grid.shape[3] * C) % 128:
+        fold = False
+    dt = compute_dtype or grid.dtype
+    y = grid.astype(dt)  # (B, d, h, w, C0)
+    K = 1
+    for i, p in enumerate(dec):
+        w = p["w"]  # (2, 2, 2, ci, co)
+        ci, co = w.shape[3], w.shape[4]
+        w2 = jnp.transpose(w, (3, 0, 1, 2, 4)).reshape(ci, 8 * co)
+        # per-sub-voxel GEMM: (..., K, ci) @ (ci, 8co) -> (..., K, 8, co)
+        y = jnp.einsum(
+            "bdhwkc,ce->bdhwke", y.reshape(y.shape[:4] + (K, ci)),
+            w2.astype(dt), preferred_element_type=jnp.float32,
+        ).astype(dt)
+        K *= 8
+        y = y.reshape(y.shape[:4] + (K, co))
+        if i < n - 1:
+            if "b" in p:
+                y = y + p["b"].astype(y.dtype)
+            y = jax.nn.gelu(channel_layer_norm(y, eps=1e-6))
+    B = y.shape[0]
+    yk = y  # (B, d, h, w, 512, C)
+    y = y.reshape(y.shape[:4] + (512 * C,))
+    sub = None
+    demeaned = False
+    if fuse_demean:
+        # per-channel spatial mean over every voxel × sub-position — the
+        # same value set as the full-res mean; the final bias cancels
+        # under demean (demean(y + b) == demean(y))
+        m = jnp.mean(
+            yk.astype(jnp.float32), axis=(1, 2, 3, 4)
+        )  # (B, C)
+        sub = jnp.tile(m, (1, 512))
+        demeaned = True
+    elif "b" in dec[-1]:
+        # ride the final bias add on the exit kernel's subtract port
+        b = dec[-1]["b"].astype(jnp.float32)
+        sub = jnp.broadcast_to(jnp.tile(-b, 512)[None], (B, 512 * C))
+    out_dtype = y.dtype if fold else jnp.float32
+    vol = depth_to_space8(
+        y, sub=sub, out_dtype=out_dtype,
+        emit="fold" if fold else "spatial", interpret=interpret,
+    )
+    return vol, demeaned, fold
+
+
 def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
              interpret=False, emit="spatial"):
     """Transposed-conv ×2 stages back to full resolution.
@@ -767,6 +850,16 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
     on_tpu = jax.default_backend() not in ("cpu",) or interpret
     y = grid
     n = len(dec)
+    # default OFF until the factor-8 reshuffle's emit passes a HW Mosaic
+    # probe (its interleave emit is the same minor-split move wave-28
+    # rejected; a strided-store variant is staged for the next wave)
+    if on_tpu and os.environ.get("ANATOMIX_DECODER_BLOCK", "0") == "1":
+        yb = _decoder_block_space(
+            dec, grid, compute_dtype=compute_dtype,
+            fuse_demean=fuse_demean, interpret=interpret, emit=emit,
+        )
+        if yb is not None:
+            return yb
     for i, p in enumerate(dec):
         w = p["w"]  # (2, 2, 2, in, out)
         ci, co = w.shape[3], w.shape[4]
@@ -792,10 +885,11 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
                     out_dtype=yb.dtype, interpret=interpret,
                 )
                 return y, True, True
-            if os.environ.get("ANATOMIX_D2S_INTERLEAVE", "1") == "1":
-                # emit the spatial minor layout straight from the kernel
-                # (kills the 4.5 ms (w,2C)->(2w,C) XLA relayout at the
-                # 128³ exit — wave-27 trace); plain d2s is the fallback
+            if os.environ.get("ANATOMIX_D2S_INTERLEAVE", "0") == "1":
+                # opt-in only: the in-kernel (w,2C)->(2w,C) minor-split
+                # reshape is an unsupported Mosaic shape cast on real HW
+                # (wave-28 probe) — would kill the 4.5 ms XLA relayout at
+                # the 128³ exit if a legal formulation lands
                 from anatomix_tpu.ops.pallas.reshuffle import (
                     depth_to_space_interleave,
                 )

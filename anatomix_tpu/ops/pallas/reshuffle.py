@@ -386,6 +386,180 @@ def depth_to_space_fold(
     return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
 
 
+def _bits3(v: int) -> tuple[int, int, int]:
+    return (v >> 2) & 1, (v >> 1) & 1, v & 1
+
+
+def _d2s8_planes(y_ref, s_ref, *, C: int, out_dtype):
+    """Shared body of the factor-8 kernels: yields, per (pz, py) output
+    plane, the (td, th, w, 8C) tile whose minor layout is (px, c) — i.e.
+    the w-interleave `(w, 8C) == (8w, C)` is one minor-split reshape away
+    (same Mosaic move as `_d2s_interleave_kernel`, just factor 8).
+
+    Channel order of `y_ref` is the 3-stage composition
+    (a1, a2, a3, c) with a_i = (z_i*4 + y_i*2 + x_i) — exactly what three
+    stacked GEMMs with (kd, kh, kw, co)-major weight columns produce
+    (`primus._decoder` block-space path). For a fixed (pz, py) the four
+    (x1, x2) groups are non-adjacent lane slices of width 2C; their
+    (x1, x2)-major concat restores (px, c) contiguity.
+    """
+    for pz in range(8):
+        z1, z2, z3 = _bits3(pz)
+        for py in range(8):
+            y1, y2, y3 = _bits3(py)
+            base = (z1 * 256 + y1 * 128 + z2 * 32 + y2 * 16
+                    + z3 * 4 + y3 * 2) * C
+            parts = []
+            for x1 in range(2):
+                for x2 in range(2):
+                    g = base + (x1 * 64 + x2 * 8) * C
+                    sl = y_ref[..., g: g + 2 * C]
+                    if s_ref is not None:
+                        sl = (sl.astype(jnp.float32)
+                              - s_ref[0, g: g + 2 * C])
+                    parts.append(sl)
+            plane = jnp.concatenate(parts, axis=-1).astype(out_dtype)
+            yield pz, py, plane  # (td, th, w, 8C), minor order (px, c)
+
+
+def _d2s8_interleave_kernel(y_ref, out_ref, *, C: int, w: int):
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    for pz, py, plane in _d2s8_planes(y_ref, None, C=C,
+                                      out_dtype=out_ref.dtype):
+        out_ref[:, pz, :, py] = plane.reshape(td, th, 8 * w, C)
+
+
+def _d2s8_interleave_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    for pz, py, plane in _d2s8_planes(y_ref, s_ref, C=C,
+                                      out_dtype=out_ref.dtype):
+        out_ref[:, pz, :, py] = plane.reshape(td, th, 8 * w, C)
+
+
+def _d2s8_fold_kernel(y_ref, out_ref, *, C: int, w: int):
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    rows = (8 * w * C) // 128
+    for pz, py, plane in _d2s8_planes(y_ref, None, C=C,
+                                      out_dtype=out_ref.dtype):
+        out_ref[:, pz, :, py] = plane.reshape(td, th, rows, 128)
+
+
+def _d2s8_fold_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
+    td, th = y_ref.shape[0], y_ref.shape[1]
+    rows = (8 * w * C) // 128
+    for pz, py, plane in _d2s8_planes(y_ref, s_ref, C=C,
+                                      out_dtype=out_ref.dtype):
+        out_ref[:, pz, :, py] = plane.reshape(td, th, rows, 128)
+
+
+def d2s8_supported(C: int) -> bool:
+    """Factor-8 reshuffle eligibility: lane slices are 2C wide at
+    2C-multiple offsets, and the fold rows must be whole 128-lane groups —
+    C % 32 == 0 keeps every offset a 64-lane multiple (the granularity
+    the production factor-2 kernels already exercise on HW)."""
+    return C % 32 == 0
+
+
+def _pick_tile_d2s8(d: int, h: int, w: int, C: int, itemsize: int,
+                    budget: int = 44 * 2 ** 20) -> tuple[int, int]:
+    def cost(td, th):
+        blk = td * th * w * 512 * C * itemsize
+        full = td * 8 * th * 8 * 8 * w * max(C, 128) * itemsize
+        return 2 * (blk + full)
+
+    best = (1, 1)
+    for td in (4, 2, 1):
+        if d % td:
+            continue
+        for th in (4, 2, 1):
+            if h % th:
+                continue
+            if cost(td, th) <= budget and td * th > best[0] * best[1]:
+                best = (td, th)
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("emit", "interpret", "out_dtype")
+)
+def depth_to_space8(
+    y: jax.Array,  # (B, d, h, w, 512*C), channel order (a1, a2, a3, c)
+    *,
+    sub: jax.Array | None = None,  # (B, 512*C) f32 per-lane offset
+    out_dtype=None,
+    emit: str = "spatial",  # 'spatial' | 'fold'
+    interpret: bool = False,
+) -> jax.Array:
+    """Three composed ×2 block layouts -> full resolution in ONE pass.
+
+    (B, d, h, w, 512C) -> (B, 8d, 8h, 8w, C) ('spatial') or the folded
+    flat-lane form (B, 8d, 8h, 8wC/128, 128) ('fold'). Equivalent to
+    three chained `depth_to_space` calls on the per-stage 8C groups, but
+    the intermediate full-res tensors are never materialized — the ViT
+    decoder's transposed-conv tower runs entirely in block space and
+    exits here (`primus._decoder`)."""
+    B, d, h, w, c512 = y.shape
+    C = c512 // 512
+    if not d2s8_supported(C):
+        raise ValueError(f"d2s8 unsupported for C={C}")
+    out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
+    td, th = _pick_tile_d2s8(
+        d, h, w, C, max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
+    )
+    fold = emit == "fold"
+    if fold and (8 * w * C) % 128:
+        raise ValueError(f"d2s8 fold needs 8*w*C % 128 == 0, got "
+                         f"w={w}, C={C}")
+    kmap = {
+        (False, False): _d2s8_interleave_kernel,
+        (False, True): _d2s8_interleave_sub_kernel,
+        (True, False): _d2s8_fold_kernel,
+        (True, True): _d2s8_fold_sub_kernel,
+    }
+    kernel = functools.partial(kmap[(fold, sub is not None)], C=C, w=w)
+    in_specs = [
+        pl.BlockSpec(
+            (td, th, w, c512), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if sub is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, c512), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
+    minor = ((8 * w * C) // 128, 128) if fold else (8 * w, C)
+
+    def one(v, *rest):
+        out6 = pl.pallas_call(
+            kernel,
+            grid=(d // td, h // th),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (td, 8, th, 8) + minor,
+                lambda i, j: (i, 0, j, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (d, 8, h, 8) + minor, out_dtype
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT
+            ),
+            interpret=interpret,
+        )(v, *rest)
+        # (d,8,h,8,...) -> (8d,8h,...): major-dim merges only, free
+        return out6.reshape((8 * d, 8 * h) + minor)
+
+    if sub is None:
+        return jax.vmap(one)(y)
+    return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
+
+
 def _s2d_c1_kernel(v_ref, out_ref):
     # v_ref: (td, 2, th, 2, 2w) channel-less; out_ref: (td, th, w, 8).
     # Per (ad, ah): the free row-major identity (2w,) == (w, 2[aw]) is a

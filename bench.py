@@ -90,7 +90,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from anatomix_tpu.extract import make_feature_extractor
+from anatomix_tpu.extract import make_feature_extractor, partition_params
 from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
 from anatomix_tpu.extract import fold_batchnorm
 from anatomix_tpu.utils.benchtools import amortized_time, pipeline_time
@@ -232,9 +232,13 @@ def main():
             vit_params = prepack_primus_tokenizer(
                 vit_cfg, vit_params, compute_dtype=compute_dtype
             )
+            # prepacked trees carry static metadata leaves (strings/ints)
+            # that cannot ride as jit arguments — split arrays from
+            # statics exactly as extract.py does
+            vit_arrs, vit_combine = partition_params(vit_params)
 
-            def vit_fwd(v, p):
-                return primus_apply(vit_cfg, p, v,
+            def vit_fwd(v, a):
+                return primus_apply(vit_cfg, vit_combine(a), v,
                                     compute_dtype=compute_dtype)
 
             xf = jax.jit(
@@ -242,19 +246,20 @@ def main():
                     k, (1, 128, 128, 128, 1), jnp.float32
                 )
             )(jax.random.PRNGKey(2))
-            t1 = pipeline_time(vit_fwd, xf, n=4, reps=3, args=(vit_params,))
+            t1 = pipeline_time(vit_fwd, xf, n=4, reps=3, args=(vit_arrs,))
 
             # packed exit: the decoder emits the folded flat-lane form whose
             # row-major bytes ARE the spatial (1,128,128,128,32) tensor (free
             # host-side reshape; bit-exactness pinned by the fold-emit parity
             # test) — skips the narrow-C relayout the spatial jit output pays
-            def vit_fwd_packed(v, p):
+            def vit_fwd_packed(v, a):
                 return primus_apply(
-                    vit_cfg, p, v, compute_dtype=compute_dtype, emit="fold"
+                    vit_cfg, vit_combine(a), v,
+                    compute_dtype=compute_dtype, emit="fold"
                 )
 
             t1p = pipeline_time(
-                vit_fwd_packed, xf, n=4, reps=3, args=(vit_params,)
+                vit_fwd_packed, xf, n=4, reps=3, args=(vit_arrs,)
             )
             # sw_batch 1: with the flash blk=1408 default the B=1 window
             # chain wins (wave-26 C1: 7.64 s vs 7.93 at B=2; the old B=2

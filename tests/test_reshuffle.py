@@ -174,3 +174,59 @@ def test_space_to_depth_c1_matches_4d_reference(rng):
     ref = np.asarray(space_to_depth_4d(x4))
     got = np.asarray(space_to_depth_c1(x4, interpret=True))
     np.testing.assert_array_equal(got, ref)
+
+
+def _d2s8_ref(y: np.ndarray) -> np.ndarray:
+    """Numpy oracle: three composed ×2 depth-to-space steps, channel
+    order (a1, a2, a3, c), a_i = (z_i*4 + y_i*2 + x_i)."""
+    B, d, h, w, c512 = y.shape
+    C = c512 // 512
+    t = y.reshape(B, d, h, w, 2, 2, 2, 2, 2, 2, 2, 2, 2, C)
+    t = t.transpose(0, 1, 4, 7, 10, 2, 5, 8, 11, 3, 6, 9, 12, 13)
+    return t.reshape(B, 8 * d, 8 * h, 8 * w, C)
+
+
+def test_depth_to_space8_matches_composed(rng):
+    """Factor-8 exit kernel == the three-step reference permutation,
+    spatial and fold emits, with and without the fused subtract."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        d2s8_supported,
+        depth_to_space8,
+    )
+
+    B, d, C = 1, 2, 32
+    assert d2s8_supported(C)
+    y = jnp.asarray(
+        rng.standard_normal((B, d, d, d, 512 * C)).astype(np.float32)
+    )
+    ref = _d2s8_ref(np.asarray(y))
+    got = np.asarray(depth_to_space8(y, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+    fold = np.asarray(depth_to_space8(y, emit="fold", interpret=True))
+    np.testing.assert_array_equal(
+        fold, ref.reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128)
+    )
+
+    sub = jnp.asarray(
+        rng.standard_normal((B, 512 * C)).astype(np.float32)
+    )
+    ref_s = _d2s8_ref(np.asarray(y) - np.asarray(sub)[:, None, None, None])
+    got_s = np.asarray(depth_to_space8(
+        y, sub=sub, out_dtype=jnp.float32, interpret=True
+    ))
+    np.testing.assert_allclose(got_s, ref_s, rtol=1e-6, atol=1e-6)
+
+    # bf16 input, fold emit with subtract (the ViT sliding exit config)
+    yb = y.astype(jnp.bfloat16)
+    got_b = depth_to_space8(
+        yb, sub=sub, emit="fold", out_dtype=jnp.bfloat16, interpret=True
+    )
+    assert got_b.dtype == jnp.bfloat16
+    ref_b = _d2s8_ref(
+        np.asarray(yb, np.float32)
+        - np.asarray(sub)[:, None, None, None]
+    ).reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128)
+    np.testing.assert_allclose(
+        np.asarray(got_b, np.float32), ref_b, rtol=1e-2, atol=1e-2
+    )

@@ -10,6 +10,7 @@ Run: ANATOMIX_TPU_TESTS=1 python -m pytest tests/test_tpu_numerics.py -m tpu -q
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -326,8 +327,12 @@ def test_d2s_fused_sub_matches_hw():
 
 def test_d2s_interleave_matches_plain_hw():
     """The interleave-exit d2s (in-kernel (w,2C)->(2w,C) minor-split
-    reshape — new Mosaic territory, the ViT spatial exit default) ==
-    plain depth_to_space on real hardware, incl. the fused demean."""
+    reshape) == plain depth_to_space on real hardware, incl. the fused
+    demean. Opt-in: the wave-28 probe showed the minor-split reshape is
+    an unsupported Mosaic shape cast — run with ANATOMIX_D2S_INTERLEAVE=1
+    once a legal formulation lands."""
+    if os.environ.get("ANATOMIX_D2S_INTERLEAVE", "0") != "1":
+        pytest.skip("interleave exit is opt-in (HW Mosaic shape cast)")
     from anatomix_tpu.ops.pallas.reshuffle import (
         depth_to_space,
         depth_to_space_interleave,
@@ -347,8 +352,11 @@ def test_d2s_interleave_matches_plain_hw():
 
 
 def test_s2d_c1_matches_xla_hw():
-    """The channel-less Pallas entry (ViT/fused-UNet 4-D default,
-    ANATOMIX_S2D_C1) == XLA space_to_depth_4d on real hardware."""
+    """The channel-less Pallas entry (opt-in via ANATOMIX_S2D_C1) == XLA
+    space_to_depth_4d on real hardware. Opt-in: the wave-28 probe showed
+    its minor-split reshape is an unsupported Mosaic shape cast."""
+    if os.environ.get("ANATOMIX_S2D_C1", "0") != "1":
+        pytest.skip("s2d_c1 entry is opt-in (HW Mosaic shape cast)")
     from anatomix_tpu.ops.pallas.conv3x3 import space_to_depth_4d
     from anatomix_tpu.ops.pallas.reshuffle import space_to_depth_c1
 
@@ -397,3 +405,50 @@ def test_vit_stem_pallas_matches_xla_hw():
     # the XLA conv; both paths' stage convs also repack in bf16
     rel = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-8)
     assert rel < 3e-2, rel
+
+
+def test_d2s8_matches_composed_hw():
+    """The factor-8 decoder exit (4 lane-slice gather + (w,8C)->(8w,C)
+    minor-split per plane — the block-space ViT decoder's only reshuffle,
+    ANATOMIX_DECODER_BLOCK) == three chained plain depth_to_space calls
+    on real hardware, spatial and fold emits with the fused subtract.
+    Opt-in until the emit passes a HW Mosaic probe (same minor-split
+    move the wave-28 probe rejected)."""
+    if os.environ.get("ANATOMIX_DECODER_BLOCK", "0") != "1":
+        pytest.skip("block-space decoder is opt-in (HW Mosaic shape cast)")
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space,
+        depth_to_space8,
+    )
+
+    rng = np.random.default_rng(6)
+    B, d, C = 1, 4, 32
+    y = jnp.asarray(
+        rng.standard_normal((B, d, d, d, 512 * C)).astype(np.float32)
+    )
+    sub = jnp.asarray(
+        rng.standard_normal((B, 512 * C)).astype(np.float32)
+    )
+
+    @jax.jit
+    def composed(v, s):
+        # stage channel groups: (a1, rest) -> d2s over a1, etc. Chained
+        # plain d2s consumes the (a_i)-major order stage by stage.
+        z = v - s[:, None, None, None, :]
+        for _ in range(3):
+            z = depth_to_space(z)
+        return z
+
+    ref = np.asarray(composed(y, sub))
+    got = np.asarray(
+        depth_to_space8(y, sub=sub, out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+    fold = np.asarray(
+        depth_to_space8(y, sub=sub, emit="fold", out_dtype=jnp.float32)
+    )
+    np.testing.assert_allclose(
+        fold, ref.reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128),
+        rtol=1e-6, atol=1e-6,
+    )

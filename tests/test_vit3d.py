@@ -472,3 +472,45 @@ def test_primus_4d_input_matches_5d(rng):
             tokenizer_impl=impl,
         ))
         np.testing.assert_array_equal(got, ref, err_msg=impl)
+
+
+def test_decoder_block_space_matches_stagewise(monkeypatch):
+    """The block-space decoder tower (per-sub-voxel GEMMs + one factor-8
+    exit reshuffle) == the stage-by-stage path, for plain, demean, and
+    demean+fold emits (interpret mode exercises the d2s8 kernel)."""
+    from anatomix_tpu.models.vit3d.primus import _decoder
+
+    rng = np.random.default_rng(7)
+    dec = []
+    ch = 64
+    for co in (48, 32, 32):
+        dec.append({
+            "w": jnp.asarray(
+                rng.standard_normal((2, 2, 2, ch, co)).astype(np.float32)
+                * 0.1
+            ),
+            "b": jnp.asarray(
+                rng.standard_normal((co,)).astype(np.float32)
+            ),
+        })
+        ch = co
+    x = jnp.asarray(
+        rng.standard_normal((1, 2, 2, 2, 64)).astype(np.float32)
+    )
+
+    def run(**kw):
+        return _decoder(None, dec, x, compute_dtype=jnp.float32,
+                        interpret=True, **kw)
+
+    for kw in ({}, {"fuse_demean": True},
+               {"fuse_demean": True, "emit": "fold"}):
+        monkeypatch.setenv("ANATOMIX_DECODER_BLOCK", "0")
+        ref, dm0, f0 = run(**kw)
+        monkeypatch.setenv("ANATOMIX_DECODER_BLOCK", "1")
+        got, dm1, f1 = run(**kw)
+        assert (dm0, f0) == (dm1, f1), kw
+        assert got.shape == ref.shape, kw
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            rtol=1e-4, atol=1e-4, err_msg=str(kw),
+        )

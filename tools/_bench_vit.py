@@ -10,7 +10,8 @@ cfg = PrimusConfig(embed_dim=396, eva_depth=12, eva_numheads=6,
                    num_register_tokens=8, qk_norm=True, num_classes=32,
                    out_norm="demean", out_norm_eps=1e-2)
 params = prepack_primus_tokenizer(cfg, init_primus_params(cfg, jax.random.PRNGKey(0)))
-arrs, combine = partition_params(jax.tree_util.tree_map(jnp.asarray, params))
+arrs, combine = partition_params(params)  # prepacked trees carry static
+# string/int leaves — tree_map(jnp.asarray, ...) would choke on them
 x = jax.jit(lambda k: jax.random.normal(k, (1,128,128,128,1), jnp.bfloat16))(jax.random.PRNGKey(1))
 def fwd(v, *a):
     return primus_apply(cfg, combine(a), v, compute_dtype=jnp.bfloat16)[..., :1].astype(jnp.bfloat16)

@@ -148,5 +148,54 @@ def main():
               flush=True)
 
 
+def probe_d2s8():
+    """Factor-8 decoder exit (block-space ViT decoder,
+    ANATOMIX_DECODER_BLOCK): 4-slice lane gather + (w,8C)->(8w,C)
+    minor split per plane, spatial + fold emits with fused subtract."""
+    from anatomix_tpu.ops.pallas.reshuffle import (
+        depth_to_space,
+        depth_to_space8,
+    )
+
+    rng = np.random.default_rng(1)
+    d = 2 if INTERP else 16
+    y = jnp.asarray(
+        rng.standard_normal((1, d, d, d, 512 * C)).astype(np.float32)
+    )
+    sub = jnp.asarray(rng.standard_normal((1, 512 * C)).astype(np.float32))
+
+    @jax.jit
+    def composed(v, s):
+        z = v - s[:, None, None, None, :]
+        for _ in range(3):
+            z = depth_to_space(z, interpret=INTERP)
+        return z
+
+    ref = np.asarray(composed(y, sub))
+    try:
+        got = np.asarray(depth_to_space8(
+            y, sub=sub, out_dtype=jnp.float32, interpret=INTERP
+        ))
+        err = np.abs(got - ref).max()
+        print(f"depth_to_space8 spatial: OK, max err {err:.2e}", flush=True)
+    except Exception as e:  # noqa: BLE001 — probe
+        print(f"depth_to_space8 spatial: FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+        return
+    try:
+        fold = np.asarray(depth_to_space8(
+            y, sub=sub, emit="fold", out_dtype=jnp.float32,
+            interpret=INTERP,
+        ))
+        err = np.abs(
+            fold - ref.reshape(1, 8 * d, 8 * d, 8 * d * C // 128, 128)
+        ).max()
+        print(f"depth_to_space8 fold: OK, max err {err:.2e}", flush=True)
+    except Exception as e:  # noqa: BLE001 — probe
+        print(f"depth_to_space8 fold: FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+
 if __name__ == "__main__":
     main()
+    probe_d2s8()
