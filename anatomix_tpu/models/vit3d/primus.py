@@ -748,14 +748,16 @@ def _decoder_block_space(dec, grid, compute_dtype=None, fuse_demean=False,
     stages are per-sub-voxel GEMMs on the 16³ grid (never materializing
     the 32³/64³ intermediate layouts or their LayerNorm relayouts — the
     wave-27 trace charged ~2 ms of the 25 ms ViT forward to them), and
-    ONE factor-8 Pallas reshuffle (`reshuffle.depth_to_space8`) emits the
-    full-res volume (spatial minor layout or the folded flat-lane form).
+    ONE factor-8 Pallas reshuffle (`reshuffle.depth_to_space8`) exits:
+    'packed' emits (B, 8d, 8h, w, 8C), the row-major byte image of the
+    spatial tensor, with ZERO relayout (the production inference fetch);
+    'spatial' adds one XLA minor-split reshape.
 
     Math-identical to the stage-by-stage path: a stride-2 kernel-2
     transposed conv is one GEMM whose output columns are (kd, kh, kw,
     co)-major, and the inter-stage bias/LayerNorm/GELU act per sub-voxel
     over channels — layout-independent. Returns (volume, demeaned,
-    folded) like `_decoder`, or None when the config is outside the
+    packed) like `_decoder`, or None when the config is outside the
     kernel's envelope (then the caller falls through to `_decoder`'s
     stage-by-stage path). Reference semantics: the transposed-conv
     decoder of `/root/reference/anatomix/model/vit3d/architectures.py`
@@ -769,14 +771,17 @@ def _decoder_block_space(dec, grid, compute_dtype=None, fuse_demean=False,
     C = dec[-1]["w"].shape[4]
     if n != 3 or not d2s8_supported(C):
         return None
-    if emit not in ("spatial", "fold"):
+    # 'fold' (the (…, 8wC/128, 128) flat-lane form the sliding scatter
+    # consumes) stays on the proven stage path: producing those rows
+    # in-kernel needs the sublane interleave Mosaic rejects (wave-28).
+    if emit not in ("spatial", "packed"):
         return None
-    # fold-emit only composes with the fused demean: a non-demean
-    # out_norm is applied by the caller on the SPATIAL volume (matching
-    # `_decoder`, which folds only inside its fuse_demean branch)
-    fold = emit == "fold" and fuse_demean
-    if fold and (8 * grid.shape[3] * C) % 128:
-        fold = False
+    # the packed form is only byte-exact w.r.t. the FINAL output when the
+    # out-norm rides the kernel's subtract port — a spatial out_norm
+    # applied by the caller would see the packed layout
+    pack = emit == "packed"
+    if pack and not fuse_demean:
+        return None
     dt = compute_dtype or grid.dtype
     y = grid.astype(dt)  # (B, d, h, w, C0)
     K = 1
@@ -813,12 +818,12 @@ def _decoder_block_space(dec, grid, compute_dtype=None, fuse_demean=False,
         # ride the final bias add on the exit kernel's subtract port
         b = dec[-1]["b"].astype(jnp.float32)
         sub = jnp.broadcast_to(jnp.tile(-b, 512)[None], (B, 512 * C))
-    out_dtype = y.dtype if fold else jnp.float32
+    out_dtype = y.dtype if pack else jnp.float32
     vol = depth_to_space8(
         y, sub=sub, out_dtype=out_dtype,
-        emit="fold" if fold else "spatial", interpret=interpret,
+        emit="packed" if pack else "spatial", interpret=interpret,
     )
-    return vol, demeaned, fold
+    return vol, demeaned, pack
 
 
 def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
@@ -838,7 +843,11 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
     With `emit='fold'` the final stage returns the folded flat-lane form
     (B, D, H, W*C/128, 128) for the sliding-window scatter kernel
     (`reshuffle.depth_to_space_fold` — no full-res narrow-C tensor is
-    ever materialized). Returns (volume, demeaned: bool, folded: bool).
+    ever materialized). With `emit='packed'` the contract is only "a
+    row-major byte-exact repacking of the spatial output" — the
+    block-space path returns (B, D, H, W/8, 8C), this stage path returns
+    the fold form — for byte-level consumers (host fetch).
+    Returns (volume, demeaned: bool, folded/packed: bool).
     """
     from anatomix_tpu.ops.pallas.conv3x3 import _depth_to_space
     from anatomix_tpu.ops.pallas.reshuffle import depth_to_space as _d2s
@@ -850,9 +859,10 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
     on_tpu = jax.default_backend() not in ("cpu",) or interpret
     y = grid
     n = len(dec)
-    # default OFF until the factor-8 reshuffle's emit passes a HW Mosaic
-    # probe (its interleave emit is the same minor-split move wave-28
-    # rejected; a strided-store variant is staged for the next wave)
+    # default OFF until the factor-8 packed emit passes a HW Mosaic
+    # probe — it uses only the proven lane-slice + lane-concat moves
+    # (no minor-split reshape), so it is expected to pass; flip the
+    # default after the wave-29 probe
     if on_tpu and os.environ.get("ANATOMIX_DECODER_BLOCK", "0") == "1":
         yb = _decoder_block_space(
             dec, grid, compute_dtype=compute_dtype,
@@ -874,7 +884,10 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
             B = yb.shape[0]
             m8 = jnp.mean(yb.astype(jnp.float32), axis=(1, 2, 3))
             m = m8.reshape(B, 8, co).mean(axis=1)  # (B, C) spatial mean
-            if emit == "fold" and fold_supported(co, yb.shape[3]):
+            if (emit in ("fold", "packed")
+                    and fold_supported(co, yb.shape[3])):
+                # 'packed' on the stage path degrades to the fold form —
+                # also a byte-exact spatial repacking, different shape
                 # bf16 folded windows: the demean subtract still runs in
                 # f32 inside the kernel, and the sliding scatter
                 # accumulates in f32 — the bf16 hop halves the exit
@@ -933,7 +946,14 @@ def primus_apply(
 
     `tokenizer_impl`: 'auto' = block-space Pallas tokenizer on TPU, XLA on
     CPU; 'fused' / 'xla' force (the fused path uses interpret mode on CPU,
-    for tests)."""
+    for tests).
+
+    `emit`: 'spatial' (default) returns (B, D, H, W, C); 'fold' returns
+    the flat-lane form (B, D, H, W*C/128, 128) the sliding-window scatter
+    consumes; 'packed' returns SOME row-major byte-exact repacking of the
+    spatial tensor — shape depends on the decoder path ((…, W*C/128, 128)
+    or (…, W/8, 8C)) — for byte-level consumers (host fetch / np.reshape).
+    Both non-spatial emits skip the narrow-C relayout on TPU."""
     if tuple(x.shape[1:4]) != tuple(cfg.input_shape):
         raise ValueError(
             f"Primus is bound to input_shape={cfg.input_shape}; got "
@@ -1009,7 +1029,7 @@ def primus_apply(
         out_norm = build_out_norm(cfg.out_norm, cfg.out_norm_eps)
         output = out_norm(volume)
 
-    if emit == "fold" and not folded:
+    if emit in ("fold", "packed") and not folded:
         # fallback: fold via an XLA reshape (caller guaranteed
         # (W*C) % 128 == 0 via scatter_kernel_eligible)
         B_, D_, H_, W_, C_ = output.shape

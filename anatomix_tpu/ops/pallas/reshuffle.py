@@ -392,16 +392,18 @@ def _bits3(v: int) -> tuple[int, int, int]:
 
 def _d2s8_planes(y_ref, s_ref, *, C: int, out_dtype):
     """Shared body of the factor-8 kernels: yields, per (pz, py) output
-    plane, the (td, th, w, 8C) tile whose minor layout is (px, c) — i.e.
-    the w-interleave `(w, 8C) == (8w, C)` is one minor-split reshape away
-    (same Mosaic move as `_d2s_interleave_kernel`, just factor 8).
+    plane, the (td, th, w, 8C) tile whose minor layout is (px, c) — the
+    row-major bytes of the (8w, C) spatial rows for that plane.
 
     Channel order of `y_ref` is the 3-stage composition
     (a1, a2, a3, c) with a_i = (z_i*4 + y_i*2 + x_i) — exactly what three
     stacked GEMMs with (kd, kh, kw, co)-major weight columns produce
     (`primus._decoder` block-space path). For a fixed (pz, py) the four
     (x1, x2) groups are non-adjacent lane slices of width 2C; their
-    (x1, x2)-major concat restores (px, c) contiguity.
+    (x1, x2)-major concat restores (px, c) contiguity. Only proven-legal
+    Mosaic moves: 2C-wide lane slices at 2C-multiple offsets + lane
+    concat (the factor-2 production kernels' vocabulary) — NO minor-dim
+    value reshape (the wave-28 probe showed Mosaic rejects those).
     """
     for pz in range(8):
         z1, z2, z3 = _bits3(pz)
@@ -422,41 +424,26 @@ def _d2s8_planes(y_ref, s_ref, *, C: int, out_dtype):
             yield pz, py, plane  # (td, th, w, 8C), minor order (px, c)
 
 
-def _d2s8_interleave_kernel(y_ref, out_ref, *, C: int, w: int):
-    td, th = y_ref.shape[0], y_ref.shape[1]
+def _d2s8_packed_kernel(y_ref, out_ref, *, C: int, w: int):
+    # out_ref: (td, 8, th, 8, w, 8C) — the plane is stored AS IS; its
+    # (w, 8C) minor is the row-major byte image of the (8w, C) spatial
+    # rows, so no in-kernel relayout is needed at all.
     for pz, py, plane in _d2s8_planes(y_ref, None, C=C,
                                       out_dtype=out_ref.dtype):
-        out_ref[:, pz, :, py] = plane.reshape(td, th, 8 * w, C)
+        out_ref[:, pz, :, py] = plane
 
 
-def _d2s8_interleave_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
-    td, th = y_ref.shape[0], y_ref.shape[1]
+def _d2s8_packed_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
     for pz, py, plane in _d2s8_planes(y_ref, s_ref, C=C,
                                       out_dtype=out_ref.dtype):
-        out_ref[:, pz, :, py] = plane.reshape(td, th, 8 * w, C)
-
-
-def _d2s8_fold_kernel(y_ref, out_ref, *, C: int, w: int):
-    td, th = y_ref.shape[0], y_ref.shape[1]
-    rows = (8 * w * C) // 128
-    for pz, py, plane in _d2s8_planes(y_ref, None, C=C,
-                                      out_dtype=out_ref.dtype):
-        out_ref[:, pz, :, py] = plane.reshape(td, th, rows, 128)
-
-
-def _d2s8_fold_sub_kernel(y_ref, s_ref, out_ref, *, C: int, w: int):
-    td, th = y_ref.shape[0], y_ref.shape[1]
-    rows = (8 * w * C) // 128
-    for pz, py, plane in _d2s8_planes(y_ref, s_ref, C=C,
-                                      out_dtype=out_ref.dtype):
-        out_ref[:, pz, :, py] = plane.reshape(td, th, rows, 128)
+        out_ref[:, pz, :, py] = plane
 
 
 def d2s8_supported(C: int) -> bool:
     """Factor-8 reshuffle eligibility: lane slices are 2C wide at
-    2C-multiple offsets, and the fold rows must be whole 128-lane groups —
-    C % 32 == 0 keeps every offset a 64-lane multiple (the granularity
-    the production factor-2 kernels already exercise on HW)."""
+    2C-multiple offsets — C % 32 == 0 keeps every offset a 64-lane
+    multiple (the granularity the production factor-2 kernels already
+    exercise on HW)."""
     return C % 32 == 0
 
 
@@ -464,7 +451,7 @@ def _pick_tile_d2s8(d: int, h: int, w: int, C: int, itemsize: int,
                     budget: int = 44 * 2 ** 20) -> tuple[int, int]:
     def cost(td, th):
         blk = td * th * w * 512 * C * itemsize
-        full = td * 8 * th * 8 * 8 * w * max(C, 128) * itemsize
+        full = td * 8 * th * 8 * w * 8 * C * itemsize  # (…, w, 8C) packed
         return 2 * (blk + full)
 
     best = (1, 1)
@@ -487,36 +474,35 @@ def depth_to_space8(
     *,
     sub: jax.Array | None = None,  # (B, 512*C) f32 per-lane offset
     out_dtype=None,
-    emit: str = "spatial",  # 'spatial' | 'fold'
+    emit: str = "packed",  # 'packed' | 'spatial'
     interpret: bool = False,
 ) -> jax.Array:
     """Three composed ×2 block layouts -> full resolution in ONE pass.
 
-    (B, d, h, w, 512C) -> (B, 8d, 8h, 8w, C) ('spatial') or the folded
-    flat-lane form (B, 8d, 8h, 8wC/128, 128) ('fold'). Equivalent to
-    three chained `depth_to_space` calls on the per-stage 8C groups, but
-    the intermediate full-res tensors are never materialized — the ViT
+    (B, d, h, w, 512C) -> the packed form (B, 8d, 8h, w, 8C) whose
+    row-major bytes ARE the spatial (B, 8d, 8h, 8w, C) tensor
+    ('packed'), or that spatial tensor itself ('spatial' — packed plus
+    one XLA minor-split reshape, a relayout on TPU). Equivalent to three
+    chained `depth_to_space` calls on the per-stage 8C groups, but the
+    intermediate full-res tensors are never materialized — the ViT
     decoder's transposed-conv tower runs entirely in block space and
-    exits here (`primus._decoder`)."""
+    exits here (`primus._decoder_block_space`). The packed emit is the
+    zero-relayout production path: a host fetch (or any byte-level
+    consumer) reinterprets it as spatial for free."""
     B, d, h, w, c512 = y.shape
     C = c512 // 512
     if not d2s8_supported(C):
         raise ValueError(f"d2s8 unsupported for C={C}")
+    if emit not in ("packed", "spatial"):
+        raise ValueError(f"unknown emit {emit!r}")
     out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
     td, th = _pick_tile_d2s8(
         d, h, w, C, max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
     )
-    fold = emit == "fold"
-    if fold and (8 * w * C) % 128:
-        raise ValueError(f"d2s8 fold needs 8*w*C % 128 == 0, got "
-                         f"w={w}, C={C}")
-    kmap = {
-        (False, False): _d2s8_interleave_kernel,
-        (False, True): _d2s8_interleave_sub_kernel,
-        (True, False): _d2s8_fold_kernel,
-        (True, True): _d2s8_fold_sub_kernel,
-    }
-    kernel = functools.partial(kmap[(fold, sub is not None)], C=C, w=w)
+    kernel = functools.partial(
+        _d2s8_packed_sub_kernel if sub is not None else _d2s8_packed_kernel,
+        C=C, w=w,
+    )
     in_specs = [
         pl.BlockSpec(
             (td, th, w, c512), lambda i, j: (i, j, 0, 0),
@@ -529,7 +515,6 @@ def depth_to_space8(
                 (1, c512), lambda i, j: (0, 0), memory_space=pltpu.VMEM
             )
         )
-    minor = ((8 * w * C) // 128, 128) if fold else (8 * w, C)
 
     def one(v, *rest):
         out6 = pl.pallas_call(
@@ -537,12 +522,12 @@ def depth_to_space8(
             grid=(d // td, h // th),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (td, 8, th, 8) + minor,
+                (td, 8, th, 8, w, 8 * C),
                 lambda i, j: (i, 0, j, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct(
-                (d, 8, h, 8) + minor, out_dtype
+                (d, 8, h, 8, w, 8 * C), out_dtype
             ),
             cost_estimate=pl.CostEstimate(
                 flops=0, bytes_accessed=2 * v.nbytes, transcendentals=0
@@ -552,12 +537,16 @@ def depth_to_space8(
             ),
             interpret=interpret,
         )(v, *rest)
-        # (d,8,h,8,...) -> (8d,8h,...): major-dim merges only, free
-        return out6.reshape((8 * d, 8 * h) + minor)
+        # (d,8,h,8,w,8C) -> (8d,8h,w,8C): major-dim merges only, free
+        return out6.reshape(8 * d, 8 * h, w, 8 * C)
 
-    if sub is None:
-        return jax.vmap(one)(y)
-    return jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32))
+    packed = (jax.vmap(one)(y) if sub is None
+              else jax.vmap(one)(y, sub[:, None, :].astype(jnp.float32)))
+    if emit == "spatial":
+        # one XLA minor-split reshape (w,8C)->(8w,C); byte-identity, but
+        # a tiled-layout relayout on TPU — packed is the fast path
+        return packed.reshape(B, 8 * d, 8 * h, 8 * w, C)
+    return packed
 
 
 def _s2d_c1_kernel(v_ref, out_ref):

@@ -188,7 +188,7 @@ def _d2s8_ref(y: np.ndarray) -> np.ndarray:
 
 def test_depth_to_space8_matches_composed(rng):
     """Factor-8 exit kernel == the three-step reference permutation,
-    spatial and fold emits, with and without the fused subtract."""
+    packed and spatial emits, with and without the fused subtract."""
     from anatomix_tpu.ops.pallas.reshuffle import (
         d2s8_supported,
         depth_to_space8,
@@ -200,33 +200,34 @@ def test_depth_to_space8_matches_composed(rng):
         rng.standard_normal((B, d, d, d, 512 * C)).astype(np.float32)
     )
     ref = _d2s8_ref(np.asarray(y))
-    got = np.asarray(depth_to_space8(y, interpret=True))
+    got = np.asarray(depth_to_space8(y, emit="spatial", interpret=True))
     np.testing.assert_array_equal(got, ref)
 
-    fold = np.asarray(depth_to_space8(y, emit="fold", interpret=True))
-    np.testing.assert_array_equal(
-        fold, ref.reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128)
-    )
+    # packed emit: row-major byte image of the spatial tensor
+    packed = np.asarray(depth_to_space8(y, interpret=True))
+    assert packed.shape == (B, 8 * d, 8 * d, d, 8 * C)
+    np.testing.assert_array_equal(packed.reshape(ref.shape), ref)
 
     sub = jnp.asarray(
         rng.standard_normal((B, 512 * C)).astype(np.float32)
     )
     ref_s = _d2s8_ref(np.asarray(y) - np.asarray(sub)[:, None, None, None])
     got_s = np.asarray(depth_to_space8(
-        y, sub=sub, out_dtype=jnp.float32, interpret=True
+        y, sub=sub, out_dtype=jnp.float32, emit="spatial", interpret=True
     ))
     np.testing.assert_allclose(got_s, ref_s, rtol=1e-6, atol=1e-6)
 
-    # bf16 input, fold emit with subtract (the ViT sliding exit config)
+    # bf16 input, packed emit with subtract (the ViT packed-fwd config)
     yb = y.astype(jnp.bfloat16)
     got_b = depth_to_space8(
-        yb, sub=sub, emit="fold", out_dtype=jnp.bfloat16, interpret=True
+        yb, sub=sub, out_dtype=jnp.bfloat16, interpret=True
     )
     assert got_b.dtype == jnp.bfloat16
     ref_b = _d2s8_ref(
         np.asarray(yb, np.float32)
         - np.asarray(sub)[:, None, None, None]
-    ).reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128)
+    )
     np.testing.assert_allclose(
-        np.asarray(got_b, np.float32), ref_b, rtol=1e-2, atol=1e-2
+        np.asarray(got_b, np.float32).reshape(ref_b.shape), ref_b,
+        rtol=1e-2, atol=1e-2,
     )

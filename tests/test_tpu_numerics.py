@@ -408,14 +408,10 @@ def test_vit_stem_pallas_matches_xla_hw():
 
 
 def test_d2s8_matches_composed_hw():
-    """The factor-8 decoder exit (4 lane-slice gather + (w,8C)->(8w,C)
-    minor-split per plane — the block-space ViT decoder's only reshuffle,
-    ANATOMIX_DECODER_BLOCK) == three chained plain depth_to_space calls
-    on real hardware, spatial and fold emits with the fused subtract.
-    Opt-in until the emit passes a HW Mosaic probe (same minor-split
-    move the wave-28 probe rejected)."""
-    if os.environ.get("ANATOMIX_DECODER_BLOCK", "0") != "1":
-        pytest.skip("block-space decoder is opt-in (HW Mosaic shape cast)")
+    """The factor-8 packed decoder exit (4 lane-slice gathers + plain
+    stores, NO minor-split reshape — the block-space ViT decoder's only
+    reshuffle, ANATOMIX_DECODER_BLOCK) == three chained plain
+    depth_to_space calls on real hardware, with the fused subtract."""
     from anatomix_tpu.ops.pallas.reshuffle import (
         depth_to_space,
         depth_to_space8,
@@ -440,15 +436,9 @@ def test_d2s8_matches_composed_hw():
         return z
 
     ref = np.asarray(composed(y, sub))
-    got = np.asarray(
+    packed = np.asarray(
         depth_to_space8(y, sub=sub, out_dtype=jnp.float32)
     )
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
-
-    fold = np.asarray(
-        depth_to_space8(y, sub=sub, emit="fold", out_dtype=jnp.float32)
-    )
     np.testing.assert_allclose(
-        fold, ref.reshape(B, 8 * d, 8 * d, 8 * d * C // 128, 128),
-        rtol=1e-6, atol=1e-6,
+        packed.reshape(ref.shape), ref, rtol=1e-6, atol=1e-6
     )

@@ -149,9 +149,12 @@ def main():
 
 
 def probe_d2s8():
-    """Factor-8 decoder exit (block-space ViT decoder,
-    ANATOMIX_DECODER_BLOCK): 4-slice lane gather + (w,8C)->(8w,C)
-    minor split per plane, spatial + fold emits with fused subtract."""
+    """Factor-8 PACKED decoder exit (block-space ViT decoder,
+    ANATOMIX_DECODER_BLOCK): 4-slice lane gather + plain (w,8C) stores,
+    no minor-split reshape -- expected legal; fused subtract included.
+    Also times it at the production shape."""
+    import time
+
     from anatomix_tpu.ops.pallas.reshuffle import (
         depth_to_space,
         depth_to_space8,
@@ -176,24 +179,29 @@ def probe_d2s8():
         got = np.asarray(depth_to_space8(
             y, sub=sub, out_dtype=jnp.float32, interpret=INTERP
         ))
-        err = np.abs(got - ref).max()
-        print(f"depth_to_space8 spatial: OK, max err {err:.2e}", flush=True)
-    except Exception as e:  # noqa: BLE001 — probe
-        print(f"depth_to_space8 spatial: FAIL {type(e).__name__}: "
+        err = np.abs(got.reshape(ref.shape) - ref).max()
+        print(f"depth_to_space8 packed: OK, max err {err:.2e}", flush=True)
+    except Exception as e:  # noqa: BLE001 -- probe
+        print(f"depth_to_space8 packed: FAIL {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
         return
-    try:
-        fold = np.asarray(depth_to_space8(
-            y, sub=sub, emit="fold", out_dtype=jnp.float32,
-            interpret=INTERP,
-        ))
-        err = np.abs(
-            fold - ref.reshape(1, 8 * d, 8 * d, 8 * d * C // 128, 128)
-        ).max()
-        print(f"depth_to_space8 fold: OK, max err {err:.2e}", flush=True)
-    except Exception as e:  # noqa: BLE001 — probe
-        print(f"depth_to_space8 fold: FAIL {type(e).__name__}: "
-              f"{str(e)[:300]}", flush=True)
+    if INTERP:
+        return
+
+    @jax.jit
+    def chain(v, s):
+        def body(_, carry):
+            vv, acc = carry
+            out = depth_to_space8(vv, sub=s, out_dtype=jnp.float32)
+            return (vv * 0.9999, acc + jnp.sum(out))
+        _, acc = jax.lax.fori_loop(0, 8, body, (v, jnp.zeros(())))
+        return acc
+
+    float(chain(y, sub))
+    t0 = time.perf_counter()
+    float(chain(y, sub))
+    dt = (time.perf_counter() - t0) / 8 * 1e3
+    print(f"d2s8 packed chain x8: {dt:.3f} ms/op", flush=True)
 
 
 if __name__ == "__main__":
