@@ -23,7 +23,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 
 def build(which):
-    if which == "vit":
+    if which in ("vit", "vitpacked"):
         from anatomix_tpu.models.vit3d import (
             PrimusConfig, init_primus_params, prepack_primus_tokenizer, primus_apply,
         )
@@ -35,18 +35,22 @@ def build(which):
             num_register_tokens=8, qk_norm=True, num_classes=32,
             out_norm="demean", out_norm_eps=1e-2,
         )
-        params = prepack_primus_tokenizer(cfg, init_primus_params(cfg, jax.random.PRNGKey(0)))
-        arrs, combine = partition_params(
-            jax.tree_util.tree_map(jnp.asarray, params)
+        params = prepack_primus_tokenizer(
+            cfg, init_primus_params(cfg, jax.random.PRNGKey(0)),
+            compute_dtype=jnp.bfloat16,
         )
+        # prepacked trees carry static string/int leaves — partition, do
+        # NOT tree_map(jnp.asarray, ...)
+        arrs, combine = partition_params(params)
         x = jax.jit(
             lambda k: jax.random.normal(
                 k, (1, 128, 128, 128, 1), jnp.bfloat16
             )
         )(jax.random.PRNGKey(1))
+        emit = "packed" if which == "vitpacked" else "spatial"
         f = jax.jit(
             lambda v, a: primus_apply(
-                cfg, combine(a), v, compute_dtype=jnp.bfloat16
+                cfg, combine(a), v, compute_dtype=jnp.bfloat16, emit=emit
             )
         )
         return f, (x, arrs), 2
