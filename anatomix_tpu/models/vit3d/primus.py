@@ -340,18 +340,29 @@ def _flash_attention(q, k, v, scale: float):
 
     _raw = os.environ.get("ANATOMIX_FLASH_BLK", "1408")
     try:
-        blk = int(_raw)
+        parts = [int(p) for p in _raw.split(",")]
+        if len(parts) == 1:
+            blk_q = blk_k = parts[0]
+        elif len(parts) == 2:
+            blk_q, blk_k = parts  # rectangular: 'block_q,block_k'
+        else:
+            raise ValueError(_raw)
     except ValueError as e:
         raise ValueError(
-            f"ANATOMIX_FLASH_BLK={_raw!r} is not an integer"
+            f"ANATOMIX_FLASH_BLK={_raw!r}: need 'blk' or 'blk_q,blk_k' "
+            "integers"
         ) from e
-    if not (8 <= blk <= 8192) or blk % 8:
+    if not (8 <= blk_q <= 8192) or blk_q % 8 or not (
+            128 <= blk_k <= 8192) or blk_k % 128:
         raise ValueError(
-            f"ANATOMIX_FLASH_BLK={blk} out of range: need a multiple of 8 "
-            "in [8, 8192] (flash block sizes are sublane-tiled; above-N "
-            "values act as a single block)"
+            f"ANATOMIX_FLASH_BLK={_raw!r} out of range: block_q must be a "
+            "multiple of 8 in [8, 8192] and block_k a multiple of 128 in "
+            "[128, 8192] (kv blocks are lane-tiled)"
         )
-    Np = -(-N // blk) * blk
+    # the padded sequence must tile by BOTH block sizes
+    Np = -(-N // blk_q) * blk_q
+    while Np % blk_k:
+        Np += blk_q
     hdp = max(128, -(-hd // 128) * 128)
     pad = ((0, 0), (0, 0), (0, Np - N), (0, hdp - hd))
     qf, kf, vf = (jnp.pad(t, pad) for t in (q, k, v))
@@ -359,10 +370,10 @@ def _flash_attention(q, k, v, scale: float):
         (jnp.arange(Np) < N).astype(jnp.int32)[None], (B, Np)
     )
     sizes = BlockSizes(
-        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
-        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
-        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
-        block_q_dq=blk,
+        block_q=blk_q, block_k_major=blk_k, block_k=blk_k, block_b=1,
+        block_q_major_dkv=blk_q, block_k_major_dkv=blk_k, block_k_dkv=blk_k,
+        block_q_dkv=blk_q, block_k_major_dq=blk_k, block_k_dq=blk_k,
+        block_q_dq=blk_q,
     )
     out = flash_attention(
         qf, kf, vf, segment_ids=SegmentIds(seg, seg), sm_scale=scale,

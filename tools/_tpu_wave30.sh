@@ -24,3 +24,8 @@ ANATOMIX_DECODER_BLOCK=0 timeout 1200 python tools/_trace_attrib.py vit \
   > tools/logs/w30_trspatial.log 2>&1
 echo "[wave30] C rc=$?"
 echo "[wave30] done"
+
+echo "[wave30] D: flash rectangular-block + splash sweep"
+timeout 2400 python tools/_exp_flashblk.py > tools/logs/w30_flash.log 2>&1
+echo "[wave30] D rc=$?"
+echo "[wave30] done2"
