@@ -224,8 +224,22 @@ def make_feature_extractor(
         )
 
         vit_cfg = plan
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        if jax.default_backend() not in ("cpu",):
+        # prepacked trees carry python-static metadata leaves (strings/
+        # ints) that must NOT be asarray'd — convert array leaves only,
+        # so callers may pass either raw or already-prepacked params
+        params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)
+            if isinstance(x, np.ndarray)
+            and np.issubdtype(x.dtype, np.number)
+            else x,
+            params,
+        )
+        already_packed = (
+            isinstance(params.get("tokenizer"), dict)
+            and isinstance(params["tokenizer"].get("stem"), dict)
+            and "pallas" in params["tokenizer"]["stem"]
+        )
+        if jax.default_backend() not in ("cpu",) and not already_packed:
             # one-time sparse packing of the fused tokenizer weights
             # (otherwise the pack gathers re-run on every window chunk)
             params = prepack_primus_tokenizer(
@@ -233,9 +247,15 @@ def make_feature_extractor(
             )
 
         # params travel as jit ARGUMENTS: closure constants are shipped in
-        # the remote-compile payload and large models exceed its size limit
+        # the remote-compile payload and large models exceed its size
+        # limit. Prepacked trees carry python-static metadata leaves, so
+        # only the array leaves ride as arguments; `combine` rebuilds the
+        # tree at trace time (same discipline as the UNet pallas path).
+        vit_arrays, vit_combine = partition_params(params)
+
         @jax.jit
-        def extract_vit_impl(volume, p):
+        def extract_vit_impl(volume, arrs):
+            p = vit_combine(arrs)
             from anatomix_tpu.ops.sliding_window import (
                 scatter_kernel_eligible,
             )
@@ -273,7 +293,7 @@ def make_feature_extractor(
                 mesh=mesh,
             )
 
-        return _with_impl(extract_vit_impl, params)
+        return _with_impl(extract_vit_impl, vit_arrays)
 
     if strategy == "auto":
         strategy = "full" if plan.config.norm in ("batch", "none") else "sliding"

@@ -690,7 +690,13 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     for stage in tok["stages"]:
         wd = stage["down"]["w"]
         ci, co = int(wd.shape[3]), int(wd.shape[4])
-        if yb is not None and (8 * ci) % 128 == 0:
+        # Mosaic legality: the kernel slices the (w + halo) scratch axis
+        # at extent w on the sublane dim — extents not 8-aligned fail to
+        # compile (HW: "Slice shape along dimension 2 must be aligned to
+        # tiling (8), but is 4" at block-w 4). Production 128³ ladders
+        # (64/32/16) are always legal; small test volumes demote.
+        down_ok = yb is not None and yb.shape[3] % 8 == 0
+        if down_ok and (8 * ci) % 128 == 0:
             # stride-2 down conv straight from block space: the stride-2
             # output grid IS the input block grid, so the kernel emits a
             # dense tensor at 1.0x nominal FLOPs with no depth_to_space
