@@ -876,11 +876,12 @@ def _decoder(cfg, dec, grid, compute_dtype=None, fuse_demean=False,
     on_tpu = jax.default_backend() not in ("cpu",) or interpret
     y = grid
     n = len(dec)
-    # default OFF until the factor-8 packed emit passes a HW Mosaic
-    # probe — it uses only the proven lane-slice + lane-concat moves
-    # (no minor-split reshape), so it is expected to pass; flip the
-    # default after the wave-29 probe
-    if on_tpu and os.environ.get("ANATOMIX_DECODER_BLOCK", "0") == "1":
+    # default ON: the factor-8 packed emit passed the wave-29 HW Mosaic
+    # probe (bit-exact, tools/logs/w29_d2s8.log) and the block-space
+    # decoder measured faster in both emit modes (packed 18.69 vs
+    # 18.85 ms, spatial 19.69 vs 20.05 — tools/logs/w29_vitab.log);
+    # parity vs the stage path is pinned by test_vit3d's decoder A/B
+    if on_tpu and os.environ.get("ANATOMIX_DECODER_BLOCK", "1") == "1":
         yb = _decoder_block_space(
             dec, grid, compute_dtype=compute_dtype,
             fuse_demean=fuse_demean, interpret=interpret, emit=emit,
