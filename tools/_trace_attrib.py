@@ -74,6 +74,39 @@ def build(which):
             )
         )(jax.random.PRNGKey(1))
         return jax.jit(ext.impl), (vol, ext.arrays), 1
+    if which == "dev":
+        # 94M dev per-window fused fwd @128³ (the sliding path's inner
+        # call: live per-window instance norm). 343 of these make the
+        # 20.9 s reference-exact 256³ sliding — this is THE lever for
+        # the <10 s stretch (VERDICT r3 #6).
+        from anatomix_tpu.extract import partition_params
+        from anatomix_tpu.models.registry import ANATOMIX_VARIANTS
+        from anatomix_tpu.models.unet import (
+            UnetConfig, build_plan, init_params,
+        )
+        from anatomix_tpu.models.unet_fused import (
+            prepack_fused, unet_apply_fused,
+        )
+
+        plan = build_plan(
+            UnetConfig(**ANATOMIX_VARIANTS["anatomix-dev"]["unet_kwargs"])
+        )
+        params = prepack_fused(
+            plan, init_params(plan, jax.random.PRNGKey(0)),
+            input_spatial=(128, 128, 128), compute_dtype=jnp.bfloat16,
+        )
+        arrs, combine = partition_params(params)
+        x = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 128, 128, 128, 1), jnp.float32
+            )
+        )(jax.random.PRNGKey(1))
+        f = jax.jit(
+            lambda v, a: unet_apply_fused(
+                plan, combine(a), v, compute_dtype=jnp.bfloat16
+            )
+        )
+        return f, (x, arrs), 2
     if which == "dx":
         # isolated input-gradient of the differentiable sparse conv at the
         # 128-crop training shape: trainkern measured dx ~4.4x the fwd
