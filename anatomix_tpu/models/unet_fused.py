@@ -66,7 +66,7 @@ from anatomix_tpu.ops.norms import (
     tiled_instance_norm,
 )
 from anatomix_tpu.ops.pool import avg_pool, max_pool
-from anatomix_tpu.ops.resize import upsample2x
+from anatomix_tpu.ops.resize import upsample2x, upsample2x_trilinear_block
 
 # activations the Pallas epilogues implement
 _EPILOGUE_ACTS = ("relu", "lrelu", "elu", "tanh", "none")
@@ -624,9 +624,10 @@ def unet_apply_fused(
                         # sub-position-major
                         feat = jnp.tile(feat, (1, 1, 1, 1, 8))
                     else:
-                        feat = _s2d(
-                            upsample2x(feat, cfg.interp), interpret
-                        )
+                        # trilinear x2 emitted straight into block
+                        # layout: 8 separable stencils of the small
+                        # tensor — no 8x spatial tensor, no s2d relayout
+                        feat = upsample2x_trilinear_block(feat)
                     in_block = True
                 else:
                     feat = upsample2x(feat, cfg.interp)

@@ -281,6 +281,34 @@ def test_upsample2x(rng, mode):
     np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_upsample2x_trilinear_block(rng, dtype):
+    """Block-layout trilinear x2 == _space_to_depth(spatial trilinear x2).
+
+    f32 must be bit-exact (same multiply-add tree); bf16 within the extra
+    per-axis rounding of computing in bf16 vs the spatial path's f32
+    upcast.
+    """
+    from anatomix_tpu.ops.pallas.conv3x3 import _space_to_depth
+    from anatomix_tpu.ops.resize import (
+        upsample2x,
+        upsample2x_trilinear_block,
+    )
+
+    x = jnp.asarray(
+        rng.standard_normal((2, 6, 5, 7, 16), dtype=np.float32), dtype
+    )
+    ref = np.asarray(
+        _space_to_depth(upsample2x(x, "trilinear")), np.float32
+    )
+    got = np.asarray(upsample2x_trilinear_block(x), np.float32)
+    assert got.shape == ref.shape
+    if dtype == jnp.float32:
+        np.testing.assert_array_equal(got, ref)
+    else:
+        np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
+
+
 @requires_torch
 @pytest.mark.parametrize("align_corners", [False, True])
 def test_resize3d_arbitrary(rng, align_corners):
