@@ -52,9 +52,11 @@ from anatomix_tpu.ops.pallas.conv3x3 import (
 from anatomix_tpu.ops.pallas.conv_block import (
     _apply_act,
     conv_block_sparse,
+    conv_block_sparse_cat,
     conv_block_sparse_skip,
     prepack_sparse,
     prepack_sparse_skip,
+    sparse_cat_eligible,
 )
 from anatomix_tpu.ops.pallas.reshuffle import (
     depth_to_space as _d2s_pallas,
@@ -475,9 +477,14 @@ def unet_apply_fused(
             # (+ the act absorbed at prepack) when this trace's block-w
             # extent is outside the sparse kernel's shape domain
             if impl == "sparse":
-                w_blk = feat.shape[3] if in_block else feat.shape[3] // 2
-                if not _sparse_w_ok(w_blk):
-                    impl = "demoted"
+                if isinstance(feat, tuple) and feat[0] == "cat_pair":
+                    pass  # eligibility (incl. extent) checked at concat
+                else:
+                    w_blk = (
+                        feat.shape[3] if in_block else feat.shape[3] // 2
+                    )
+                    if not _sparse_w_ok(w_blk):
+                        impl = "demoted"
             elif impl == "sparse_skip" and not (
                 isinstance(feat, tuple) and feat[0] == "skip_pair"
             ):
@@ -524,10 +531,25 @@ def unet_apply_fused(
                 feat = _apply_act(z, packed["act"]).astype(compute_dtype)
                 in_block = True
             elif impl in ("sparse", "block_dense"):
-                if not in_block:
-                    feat = _s2d(feat, interpret)
+                if impl == "sparse" and isinstance(feat, tuple):
+                    # deferred skip concat: the two block operands feed
+                    # the GEMM directly (no interleave materialization)
+                    _, enc_c, up_c = feat
+                    feat = conv_block_sparse_cat(
+                        enc_c, up_c, packed, interpret=interpret,
+                        out_dtype=(
+                            jnp.float32
+                            if emit == "fold" and idx == exit_conv
+                            else None
+                        ),
+                    )
                     in_block = True
-                if impl == "sparse":
+                    # (cat pairs are never the tail conv — concat site
+                    # declines when idx == tail_conv)
+                elif impl == "sparse":
+                    if not in_block:
+                        feat = _s2d(feat, interpret)
+                        in_block = True
                     # fold exits consume f32 (Mosaic strided loads are
                     # 32-bit-only): the tail conv stores its f32
                     # accumulator directly instead of a bf16 round trip
@@ -544,6 +566,9 @@ def unet_apply_fused(
                     if idx == tail_conv:
                         in_block = False
                 else:
+                    if not in_block:
+                        feat = _s2d(feat, interpret)
+                        in_block = True
                     feat = _conv_block_dense(
                         feat, packed, cfg.pad_type, compute_dtype,
                         interpret,
@@ -646,13 +671,41 @@ def unet_apply_fused(
                 if in_block:
                     B, d, h, w, c1 = enc.shape
                     c2 = feat.shape[-1]
-                    feat = jnp.concatenate(
-                        [
-                            enc.reshape(B, d, h, w, 8, c1 // 8),
-                            feat.reshape(B, d, h, w, 8, c2 // 8),
-                        ],
-                        axis=-1,
-                    ).reshape(B, d, h, w, c1 + c2)
+                    nxt_j = next(
+                        (
+                            j
+                            for j in range(idx + 1, plan.num_layers)
+                            if plan.layers[j].kind == "conv"
+                        ),
+                        None,
+                    )
+                    import os as _os3
+
+                    if (
+                        nxt_j == idx + 1  # conv consumes the concat next
+                        and nxt_j != tail_conv
+                        and conv_impl_at(nxt_j) == "sparse"
+                        and sparse_cat_eligible(
+                            c1 // 8, c2 // 8, w, cfg.pad_type
+                        )
+                        # gated until the HW compile/parity probe lands
+                        # (new Mosaic kernel; r03 lesson — probe first)
+                        and _os3.environ.get("ANATOMIX_CAT_KERNEL", "0")
+                        == "1"
+                    ):
+                        # defer: the sparse kernel consumes both block
+                        # operands; the channel interleave (two 6-D
+                        # reshapes + concat, ~7.5 ms of the 94M dev fwd,
+                        # wave-33 trace) is never materialized
+                        feat = ("cat_pair", enc, feat)
+                    else:
+                        feat = jnp.concatenate(
+                            [
+                                enc.reshape(B, d, h, w, 8, c1 // 8),
+                                feat.reshape(B, d, h, w, 8, c2 // 8),
+                            ],
+                            axis=-1,
+                        ).reshape(B, d, h, w, c1 + c2)
                 else:
                     feat = jnp.concatenate([enc, feat], axis=-1)
             if idx in plan.encoder_idx:

@@ -146,7 +146,7 @@ def _kernel(x_hbm, w0_ref, w1_ref, w2_ref, b_ref, out_ref, x_vmem, sem, *,
 
 
 def _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref, i, j, *,
-                 td, th, w, off):
+                 td, th, w, off, sem_base=0):
     """Start 9 DMAs assembling an edge-halo'd (td+2, th+2, w+2) tile:
     core + 4 edge strips + 4 corners, source indices pre-clamped in the
     SMEM maps (dmap[i] = (i*td, max(i*td-1, 0), min(i*td+td, d-1)))."""
@@ -174,7 +174,7 @@ def _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref, i, j, *,
         dma = pltpu.make_async_copy(
             x_hbm.at[b, sd, sh, :, :],
             x_vmem.at[dd, dh, dst_w, :],
-            sems.at[k],
+            sems.at[sem_base + k],
         )
         dma.start()
         dmas.append(dma)
@@ -531,6 +531,177 @@ def conv_block_sparse(
         act=packed["act"], out_dtype=out_dtype or x_block.dtype,
         interpret=interpret,
         out_w=x_block.shape[3], emit_full=emit_full,
+    )
+
+
+# -----------------------------------------------------------------------------
+# Two-input (skip-concat) sparse conv: consumes the encoder tap and the
+# upsampled decoder tensor as SEPARATE block-space operands, building each
+# GEMM view as [enc c1 rows | feat c2 rows] in VMEM. The channel-interleaved
+# concat those rows represent — (B,d,h,w,8,c1)⊕(B,d,h,w,8,c2) reshaped back
+# to (…, 8(c1+c2)) — was ~7.5 ms of kLoop interleave copies per 94M dev
+# forward at 128³ (wave-33 trace, unet_fused.py:648-655). The weights are
+# the UNCHANGED `pack_sparse_block_weights` of the full (c1+c2)-input conv:
+# its per-view rows are channel-minor in model concat order [enc, feat],
+# which is exactly the order the two VMEM slices concatenate in.
+# Used by the trilinear-interp decoder (anatomix-dev); the nearest decoder
+# keeps the cheaper folded `sparse_skip` kernel (27*c2 small-tensor rows).
+
+
+def _kernel_cat_halo(dmap_ref, hmap_ref, a_hbm, f_hbm, w0_ref, w1_ref,
+                     w2_ref, b_ref, out_ref, a_vmem, f_vmem, sems, *,
+                     td, th, W, c1, c2, act, interpret):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    dmas = _halo_copies(a_hbm, a_vmem, sems, b, dmap_ref, hmap_ref,
+                        i, j, td=td, th=th, w=W, off=off)
+    dmas += _halo_copies(f_hbm, f_vmem, sems, b, dmap_ref, hmap_ref,
+                         i, j, td=td, th=th, w=W, off=off, sem_base=9)
+    for dma in dmas:
+        dma.wait()
+    # w-axis halo: in-VMEM edge copies (block-space edge == full-res
+    # mirror reflect for the ±1 fine halo the views read, see _kernel_halo)
+    a_vmem[:, :, off - 1] = a_vmem[:, :, off]
+    a_vmem[:, :, off + W] = a_vmem[:, :, off + W - 1]
+    f_vmem[:, :, off - 1] = f_vmem[:, :, off]
+    f_vmem[:, :, off + W] = f_vmem[:, :, off + W - 1]
+
+    base = off - 1
+
+    def chunk(vd, vws):
+        views = []
+        for vh in (-1, 0, 1, 2):
+            for vw in vws:
+                par = (_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]
+                idx = (
+                    slice(_OFF[vd], _OFF[vd] + td),
+                    slice(_OFF[vh], _OFF[vh] + th),
+                    slice(base + _OFF[vw], base + _OFF[vw] + W),
+                )
+                views.append(
+                    a_vmem[idx + (slice(par * c1, (par + 1) * c1),)]
+                )
+                views.append(
+                    f_vmem[idx + (slice(par * c2, (par + 1) * c2),)]
+                )
+        return jnp.concatenate(views, axis=-1)
+
+    dn = (((3,), (0,)), ((), ()))
+    ci = c1 + c2
+    acc = None
+    for w_ref, vws in ((w1_ref, (0, 1)), (w0_ref, (-1,)), (w2_ref, (2,))):
+        rows = 4 * len(vws) * ci
+        for n, vd in enumerate((-1, 0, 1, 2)):
+            z = jax.lax.dot_general(
+                chunk(vd, vws), w_ref[n * rows: (n + 1) * rows], dn,
+                preferred_element_type=jnp.float32,
+                precision=_dot_precision(a_vmem.dtype),
+            )
+            acc = z if acc is None else acc + z
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret")
+)
+def conv_block_sparse_cat_halo(
+    enc_block: jax.Array,   # (B, d, h, w, 8*c1) block layout, UN-halo'd
+    feat_block: jax.Array,  # (B, d, h, w, 8*c2) block layout, UN-halo'd
+    w0: jax.Array,
+    w1: jax.Array,
+    w2: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """'Same'-padded (full-res reflect) sparse block conv over the
+    channel-concat [enc, feat], consumed as two operands — the interleaved
+    concat is never materialized. Returns (B, d, h, w, 8*Co)."""
+    B, d, h, w, c18 = enc_block.shape
+    c1 = c18 // 8
+    c2 = feat_block.shape[-1] // 8
+    co8 = w1.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    td, th = _pick_tile(
+        d, h, Wp, c1 + c2, co8 // 8, itemsize=enc_block.dtype.itemsize
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(_kernel_cat_halo, td=td, th=th, W=w,
+                               c1=c1, c2=c2, act=act, interpret=interpret)
+    flops = 2 * B * d * h * w * 64 * (c1 + c2) * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # enc stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * c1), enc_block.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * c2), feat_block.dtype),
+            pltpu.SemaphoreType.DMA((18,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=enc_block.nbytes + feat_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, enc_block, feat_block, w0, w1, w2, bias8)
+
+
+def sparse_cat_eligible(c1: int, c2: int, w: int, pad_type: str) -> bool:
+    """The two-operand kernel needs per-operand channel slices that hit
+    lane-aligned (8*c % 128 == 0) VMEM offsets — c % 16 per operand — the
+    sparse W extent rule, and the edge-copy halo (== full-res reflect)."""
+    return (
+        pad_type == "reflect"
+        and c1 % 16 == 0
+        and c2 % 16 == 0
+        and w % 8 == 0
+    )
+
+
+def conv_block_sparse_cat(
+    enc_block: jax.Array,
+    feat_block: jax.Array,
+    packed: dict,
+    *,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """Dispatch for the two-operand skip conv (reflect padding only —
+    callers check `sparse_cat_eligible` and fall back to the materialized
+    concat + `conv_block_sparse` otherwise)."""
+    return conv_block_sparse_cat_halo(
+        enc_block, feat_block, packed["w0"], packed["w1"], packed["w2"],
+        packed["b8"], act=packed["act"],
+        out_dtype=out_dtype or enc_block.dtype,
+        interpret=interpret,
     )
 
 

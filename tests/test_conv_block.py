@@ -225,6 +225,53 @@ def test_unet_fused_instance_norm_matches_xla(rng):
     assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
 
 
+def test_unet_fused_cat_pair_taken_and_matches(rng, monkeypatch):
+    """The trilinear decoder's skip concat defers to the two-operand
+    sparse kernel (`conv_block_sparse_cat`) when channels are 16-aligned
+    and block-w is 8-aligned — assert the path actually runs AND the
+    output still matches the XLA UNet."""
+    from anatomix_tpu.models import unet_fused as uf
+    from anatomix_tpu.models.unet import (
+        UnetConfig, build_plan, init_params, unet_apply,
+    )
+
+    cfg = UnetConfig(
+        dimension=3, input_nc=1, output_nc=8, num_downs=2, ngf=16,
+        norm="instance", pooling="Avg", interp="trilinear",
+        norm_eps=1e-2,
+    )
+    plan = build_plan(cfg)
+    params = init_params(plan, jax.random.PRNGKey(0))
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 16, 1),
+                          jnp.float32)
+    ref = np.asarray(
+        unet_apply(plan, params, x, compute_dtype=jnp.float32)
+    ).astype(np.float32)
+    pf = uf.prepack_fused(
+        plan, params, input_spatial=(16, 16, 16),
+        compute_dtype=jnp.float32, interpret=True,
+    )
+
+    calls = []
+    real = uf.conv_block_sparse_cat
+
+    def counting(*args, **kwargs):
+        calls.append(args[0].shape)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(uf, "conv_block_sparse_cat", counting)
+    monkeypatch.setenv("ANATOMIX_CAT_KERNEL", "1")
+    got = np.asarray(
+        uf.unet_apply_fused(
+            plan, pf, x, compute_dtype=jnp.float32, interpret=True
+        )
+    ).astype(np.float32)
+    # top decoder level: enc 16ch block (8,8,8,128), w=8 — eligible
+    assert calls, "cat_pair path was never taken"
+    assert np.abs(got - ref).max() / np.abs(ref).max() < 3e-2
+
+
 def test_unet_fused_extent_guard_demotes_and_matches(rng):
     """Traces at extents outside the sparse kernels' shape domain
     (block-w % 8 != 0 — the r03 registration failure at 192³, whose
