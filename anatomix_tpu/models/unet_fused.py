@@ -409,6 +409,7 @@ def unet_apply_fused(
     act = get_activation(cfg.activation)
     final_act = get_activation(cfg.final_act)
     consumed = params.get("__consumed_acts__", set())
+    norm_consumed: set[int] = set()  # acts folded into live-norm passes
 
     # tail conv: the last conv with only folded/consumed layers after it
     # can store straight into depth-to-space layout (fuses the exit d2s)
@@ -588,18 +589,31 @@ def unet_apply_fused(
                         pad_type=cfg.pad_type, compute_dtype=compute_dtype,
                     )
         elif spec.kind == "norm":
-            # live instance norm (batch norms are folded to 'identity')
+            # live instance norm (batch norms are folded to 'identity');
+            # a directly-following activation rides the normalize pass
+            # (the standalone act was ~2.8 ms of the 94M dev fwd @128³,
+            # wave-33 trace)
+            act_here = None
+            if idx + 1 < plan.num_layers and (idx + 1) not in consumed:
+                nkind = plan.layers[idx + 1].kind
+                if nkind == "act":
+                    act_here = act
+                elif nkind == "final_act":
+                    act_here = final_act
+            if act_here is not None:
+                norm_consumed.add(idx + 1)
             feat = _instance_norm_any(
                 feat, in_block, eps=cfg.norm_eps,
                 scale=p.get("scale") if p else None,
                 bias=p.get("bias") if p else None,
+                act_fn=act_here,
                 tile_counts=in_tile_counts,
             )
         elif spec.kind == "act":
-            if idx not in consumed:
+            if idx not in consumed and idx not in norm_consumed:
                 feat = act(feat)
         elif spec.kind == "final_act":
-            if idx not in consumed:
+            if idx not in consumed and idx not in norm_consumed:
                 feat = final_act(feat)
         elif spec.kind == "pool":
             if in_block:

@@ -281,13 +281,14 @@ def test_upsample2x(rng, mode):
     np.testing.assert_allclose(got, ref, atol=TOL, rtol=1e-4)
 
 
+@pytest.mark.parametrize("flat", ["0", "1"])
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_upsample2x_trilinear_block(rng, dtype):
+def test_upsample2x_trilinear_block(rng, dtype, flat, monkeypatch):
     """Block-layout trilinear x2 == _space_to_depth(spatial trilinear x2).
 
-    f32 must be bit-exact (same multiply-add tree); bf16 within the extra
-    per-axis rounding of computing in bf16 vs the spatial path's f32
-    upcast.
+    Tree form ("0"): f32 bit-exact (same multiply-add tree); flat form
+    ("1"): f32 within association-order rounding. bf16 within the extra
+    rounding of computing in bf16 vs the spatial path's f32 upcast.
     """
     from anatomix_tpu.ops.pallas.conv3x3 import _space_to_depth
     from anatomix_tpu.ops.resize import (
@@ -295,6 +296,7 @@ def test_upsample2x_trilinear_block(rng, dtype):
         upsample2x_trilinear_block,
     )
 
+    monkeypatch.setenv("ANATOMIX_TRILIN_FLAT", flat)
     x = jnp.asarray(
         rng.standard_normal((2, 6, 5, 7, 16), dtype=np.float32), dtype
     )
@@ -304,7 +306,10 @@ def test_upsample2x_trilinear_block(rng, dtype):
     got = np.asarray(upsample2x_trilinear_block(x), np.float32)
     assert got.shape == ref.shape
     if dtype == jnp.float32:
-        np.testing.assert_array_equal(got, ref)
+        if flat == "0":
+            np.testing.assert_array_equal(got, ref)
+        else:
+            np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
     else:
         np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
 
