@@ -32,4 +32,10 @@ if [ "$rc_a" = "0" ]; then
 else
   echo "[wave34] C/D skipped (probe failed)"
 fi
+sleep 10
+
+echo "[wave34] E: 6M fused fwd trace (gap vs 5.8 ms floor)"
+timeout 1500 python tools/_trace_attrib.py fused6 \
+  > tools/logs/w34_trfused6.log 2>&1
+echo "[wave34] E rc=$?"
 echo "[wave34] done"

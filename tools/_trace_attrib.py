@@ -107,6 +107,40 @@ def build(which):
             )
         )
         return f, (x, arrs), 2
+    if which == "fused6":
+        # 6M fused fwd @128³ (BN folded, the bench patches/s unit):
+        # measured 14.0–15.3 ms vs a 5.8 ms sparse-GEMM floor — attribute
+        # the ~8.5 ms gap (dev got 57→~35 ms from glue alone, round 4c)
+        from anatomix_tpu.extract import fold_batchnorm, partition_params
+        from anatomix_tpu.models.unet import (
+            UnetConfig, build_plan, init_params,
+        )
+        from anatomix_tpu.models.unet_fused import (
+            prepack_fused, unet_apply_fused,
+        )
+
+        plan = build_plan(UnetConfig(
+            dimension=3, input_nc=1, output_nc=16, num_downs=4, ngf=16,
+        ))
+        fplan, fparams = fold_batchnorm(
+            plan, init_params(plan, jax.random.PRNGKey(0))
+        )
+        params = prepack_fused(
+            fplan, fparams, input_spatial=(128, 128, 128),
+            compute_dtype=jnp.bfloat16,
+        )
+        arrs, combine = partition_params(params)
+        x = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 128, 128, 128, 1), jnp.float32
+            )
+        )(jax.random.PRNGKey(1))
+        f = jax.jit(
+            lambda v, a: unet_apply_fused(
+                fplan, combine(a), v, compute_dtype=jnp.bfloat16
+            )
+        )
+        return f, (x, arrs), 2
     if which == "dx":
         # isolated input-gradient of the differentiable sparse conv at the
         # 128-crop training shape: trainkern measured dx ~4.4x the fwd
