@@ -96,4 +96,34 @@ for c1, c2, co, s in SHAPES:
             f"t_concat_conv={t_ref * 1e3:.3f} ms",
             flush=True,
         )
+
+if not SMOKE:
+    # compile+run only: the dev full_tiled 256³ top level (block 128) —
+    # too big for a concat reference copy on-chip, but the extent must
+    # be probed before the cat gate defaults on (r03 lesson)
+    c1, c2, co, s = 32, 64, 32, 128
+    enc = jax.random.normal(
+        jax.random.PRNGKey(9), (1, s, s, s, 8 * c1), jnp.bfloat16
+    )
+    up = jax.random.normal(
+        jax.random.PRNGKey(10), (1, s, s, s, 8 * c2), jnp.bfloat16
+    )
+    wt = (
+        jax.random.normal(
+            jax.random.PRNGKey(2), (3, 3, 3, c1 + c2, co), jnp.float32
+        )
+        * 0.05
+    )
+    packed = prepack_sparse(wt, None, act="relu")
+    t0 = time.perf_counter()
+    s_out = float(
+        jnp.sum(
+            conv_block_sparse_cat(enc, up, packed).astype(jnp.float32)
+        )
+    )
+    print(
+        f"[cat {c1}+{c2}->{co} @blk {s}] compile+run "
+        f"{time.perf_counter() - t0:.1f} s (sum {s_out:.3e})",
+        flush=True,
+    )
 print("probe_cat done", flush=True)
