@@ -700,12 +700,15 @@ def unet_apply_fused(
                         and nxt_j != tail_conv
                         and conv_impl_at(nxt_j) == "sparse"
                         and sparse_cat_eligible(
-                            c1 // 8, c2 // 8, w, cfg.pad_type
+                            c1 // 8, c2 // 8, w, cfg.pad_type,
+                            co=plan.layers[nxt_j].out_ch,
                         )
-                        # gated until the HW compile/parity probe lands
-                        # (new Mosaic kernel; r03 lesson — probe first)
-                        and _os3.environ.get("ANATOMIX_CAT_KERNEL", "0")
-                        == "1"
+                        # HW-validated at the dev cat-eligible decoder
+                        # shapes (wave-34 probe: bit-exact, faster);
+                        # ANATOMIX_CAT_KERNEL=0 restores the
+                        # materialized-concat path for A/B
+                        and _os3.environ.get("ANATOMIX_CAT_KERNEL", "1")
+                        != "0"
                     ):
                         # defer: the sparse kernel consumes both block
                         # operands; the channel interleave (two 6-D

@@ -342,7 +342,11 @@ def _flash_attention(q, k, v, scale: float):
     try:
         parts = [int(p) for p in _raw.split(",")]
         if len(parts) == 1:
-            blk_q = blk_k = parts[0]
+            # single-value form: kv blocks are lane-tiled (multiple of
+            # 128), so round blk_k up rather than rejecting legacy
+            # values like '64' (ADVICE r4 #2)
+            blk_q = parts[0]
+            blk_k = max(128, -(-parts[0] // 128) * 128)
         elif len(parts) == 2:
             blk_q, blk_k = parts  # rectangular: 'block_q,block_k'
         else:

@@ -339,6 +339,12 @@ def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
 
 _VMEM_LIMIT = 40 * 2 ** 20  # raised scoped-vmem limit (v5e: 128 MB phys)
 
+# The two-operand cat kernel keeps its full sparse weight pack resident in
+# VMEM; cap it so the pack + tile scratch stay under the scoped limit
+# (13 MB matches choose_impl_v2's _SPARSE_W_BYTES_MAX — the largest
+# HW-validated pack is the dev 64+128->64 level at 12.58 MB, wave-34).
+_SPARSE_CAT_W_BYTES_MAX = 13 * 2 ** 20
+
 
 def _pick_tile(d, h, Wp, ci, co, itemsize=2, vmem_budget=24 * 2 ** 20):
     """Largest (td, th) dividing (d, h) whose working set fits VMEM.
@@ -674,10 +680,22 @@ def conv_block_sparse_cat_halo(
     )(dmap, hmap, enc_block, feat_block, w0, w1, w2, bias8)
 
 
-def sparse_cat_eligible(c1: int, c2: int, w: int, pad_type: str) -> bool:
+def sparse_cat_eligible(
+    c1: int, c2: int, w: int, pad_type: str, co: int | None = None
+) -> bool:
     """The two-operand kernel needs per-operand channel slices that hit
     lane-aligned (8*c % 128 == 0) VMEM offsets — c % 16 per operand — the
-    sparse W extent rule, and the edge-copy halo (== full-res reflect)."""
+    sparse W extent rule, and the edge-copy halo (== full-res reflect).
+
+    When `co` is given, the sparse weight pack (64*(c1+c2)*8*co bf16 —
+    resident whole in VMEM) must also fit the same cap as the one-operand
+    kernel: the dev blk-16 decoder shape (128+256 -> 128) carries a 48 MB
+    pack that busts the 40 MB scoped-vmem limit on HW (wave-34 probe),
+    so callers must demote it to the materialized-concat path."""
+    if co is not None:
+        w_bytes = 64 * (c1 + c2) * 8 * co * 2
+        if w_bytes > _SPARSE_CAT_W_BYTES_MAX:
+            return False
     return (
         pad_type == "reflect"
         and c1 % 16 == 0

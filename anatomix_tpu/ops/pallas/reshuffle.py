@@ -448,20 +448,26 @@ def d2s8_supported(C: int) -> bool:
 
 
 def _pick_tile_d2s8(d: int, h: int, w: int, C: int, itemsize: int,
-                    budget: int = 44 * 2 ** 20) -> tuple[int, int]:
+                    budget: int = 44 * 2 ** 20) -> tuple[int, int] | None:
+    """Largest (td, th) whose double-buffered working set fits the VMEM
+    budget; None when even the (1, 1) tile busts it (large w*C) — the
+    caller raises a descriptive error instead of letting Mosaic OOM
+    opaquely (ADVICE r4 #4)."""
     def cost(td, th):
         blk = td * th * w * 512 * C * itemsize
         full = td * 8 * th * 8 * w * 8 * C * itemsize  # (…, w, 8C) packed
         return 2 * (blk + full)
 
-    best = (1, 1)
+    best = None
     for td in (4, 2, 1):
         if d % td:
             continue
         for th in (4, 2, 1):
             if h % th:
                 continue
-            if cost(td, th) <= budget and td * th > best[0] * best[1]:
+            if cost(td, th) <= budget and (
+                best is None or td * th > best[0] * best[1]
+            ):
                 best = (td, th)
     return best
 
@@ -496,9 +502,16 @@ def depth_to_space8(
     if emit not in ("packed", "spatial"):
         raise ValueError(f"unknown emit {emit!r}")
     out_dtype = y.dtype if out_dtype is None else jnp.dtype(out_dtype)
-    td, th = _pick_tile_d2s8(
+    tile = _pick_tile_d2s8(
         d, h, w, C, max(y.dtype.itemsize, jnp.dtype(out_dtype).itemsize)
     )
+    if tile is None:
+        raise ValueError(
+            f"depth_to_space8: no (td, th) tile fits the VMEM budget for "
+            f"shape {y.shape} (w*C too large) — fall back to chained "
+            f"depth_to_space"
+        )
+    td, th = tile
     kernel = functools.partial(
         _d2s8_packed_sub_kernel if sub is not None else _d2s8_packed_kernel,
         C=C, w=w,

@@ -158,10 +158,22 @@ def upsample2x_trilinear_block(x: jax.Array) -> jax.Array:
     the bf16 fused decoder the extra rounding is ~2^-9 per axis, below
     the bf16 conv noise floor; f32 inputs reproduce the spatial path
     bit-exactly (same nested multiply-add tree, D then H then W).
+    `ANATOMIX_TRILIN_F32=1` restores f32 arithmetic for A/B debugging
+    (ADVICE r4 #3); `ANATOMIX_TRILIN_FLAT=0` restores the per-axis tree
+    form (bit-exact vs the spatial path at f32).
     """
     import os as _os
 
-    if _os.environ.get("ANATOMIX_TRILIN_FLAT", "0") == "1":
+    if (
+        _os.environ.get("ANATOMIX_TRILIN_F32", "0") == "1"
+        and x.dtype != jnp.float32
+    ):
+        in_dtype = x.dtype
+        return upsample2x_trilinear_block(
+            x.astype(jnp.float32)
+        ).astype(in_dtype)
+
+    if _os.environ.get("ANATOMIX_TRILIN_FLAT", "1") != "0":
         # one-pass form: each sub-position is a flat 8-corner stencil of
         # the edge-padded tensor — no materialized per-axis intermediates
         # (the tree form's partial sums were ~4.8 ms of the 94M dev fwd

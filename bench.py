@@ -355,6 +355,9 @@ def main():
             # scalar fetch = reliable sync through the tunnel
             # (block_until_ready is not, CLAUDE.md)
             float(jnp.sum(ext_sw.impl(vol256, ext_sw.arrays)[0, 0, 0, :2]))
+            # pre-warm the cosine jit too: its (remote) compile would
+            # otherwise land inside the timed region (ADVICE r4 #1)
+            float(_cos(y_tiled, y_tiled))
             t0 = _t.perf_counter()
             y_sw = ext_sw.impl(vol256, ext_sw.arrays)
             cos = float(_cos(y_tiled, y_sw))  # consumes y_sw => sync

@@ -15,6 +15,7 @@ from anatomix_tpu.ops.pallas.conv_block import (
     conv_block_sparse,
     conv_block_sparse_cat,
     prepack_sparse,
+    sparse_cat_eligible,
 )
 from anatomix_tpu.utils.benchtools import amortized_time
 
@@ -32,6 +33,14 @@ if SMOKE:
     SHAPES = [(16, 32, 16, 8)]
 
 for c1, c2, co, s in SHAPES:
+    if not sparse_cat_eligible(c1, c2, s, "reflect", co=co):
+        wmb = 64 * (c1 + c2) * 8 * co * 2 / 2 ** 20
+        print(
+            f"[cat {c1}+{c2}->{co} @blk {s}] ineligible "
+            f"(weight pack {wmb:.1f} MB) — demotes to concat path",
+            flush=True,
+        )
+        continue
     kd = jax.random.PRNGKey(c1)
     enc = jax.random.normal(kd, (1, s, s, s, 8 * c1), jnp.bfloat16)
     up = jax.random.normal(
