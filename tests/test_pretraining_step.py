@@ -52,33 +52,79 @@ def test_train_step_runs_and_learns():
 
 
 def test_multidevice_dp_matches_single():
+    """Raw pre-update gradients must match between a single-device pass
+    and a 4-device DP pass at tight tolerance (ADVICE r3 #4: comparing
+    post-Adam weights hid sub-2e-3 errors behind a 2*lr knife-edge
+    bound — the optimizer normalizes away gradient magnitude).
+
+    The gradient comparison runs with eval-mode norms: BN-train batch
+    statistics are f32 reductions over the sharded batch axis, whose
+    GSPMD reassociation injects ~1e-7 activation noise, and the NCE
+    gradient of this tiny config is measurably chaotic at that scale
+    (a 1e-6 input perturbation moves gradient elements by ~1e-2 via
+    activation-kink crossings while the loss moves <1e-6 — verified
+    round 5). Eval-mode gradients exercise every DP-relevant path
+    (batch sharding, cross-patch NCE coupling, gather backward, grad
+    all-reduce) and match at 1e-5; train-mode forward semantics are
+    pinned separately by the loss equality below."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from anatomix_tpu.pretraining.train_step import NCEOptions, nce_forward
 
     devices = np.array(jax.devices()[:4])
     mesh = Mesh(devices, ("data",))
-    plan, state, step_single, views, segs = _setup(batch=4)
-    _, _, step_dp, _, _ = _setup(mesh=mesh, batch=4)
+    plan, state, _, views, segs = _setup(batch=4)
+    taps = (plan.encoder_idx[-1], plan.num_layers - 1)
+    rng = jax.random.PRNGKey(7)
 
-    s1, m1 = step_single(state, views, segs, jax.random.PRNGKey(7))
-    sharded_views = jax.device_put(views, NamedSharding(mesh, P("data")))
-    sharded_segs = jax.device_put(segs, NamedSharding(mesh, P("data")))
-    state_repl = jax.device_put(state, NamedSharding(mesh, P()))
-    s2, m2 = step_dp(state_repl, sharded_views, sharded_segs,
-                     jax.random.PRNGKey(7))
+    def make_loss(train):
+        def loss_fn(params_g, params_f, views, segs):
+            return nce_forward(
+                plan, params_g, params_f, views, segs, rng,
+                tap_layers=taps, num_patches=32, nce=NCEOptions(),
+                train=train,
+            )
+        return loss_fn
 
-    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
-    g1 = np.asarray(s1.params_g["0"]["w"])
-    g2 = np.asarray(s2.params_g["0"]["w"])
-    # The DP psum and the single-device batch sum round differently, so a
-    # gradient element that is ~0 can flip sign between the two — and
-    # Adam's normalized first step turns a sign flip into a +/-lr update
-    # (observed: exactly 2*lr on one element). Bound those knife-edge
-    # elements by the Adam step size and require the rest to match
-    # tightly; the loss equality above pins the forward semantics.
-    lr = 1e-3
-    diff = np.abs(g1 - g2)
-    assert diff.max() <= 2 * lr + 1e-5
-    assert (diff > 1e-5).mean() <= 0.02
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    args_repl = (state.params_g, state.params_f, views, segs)
+    args_shard = (
+        jax.device_put(state.params_g, repl),
+        jax.device_put(state.params_f, repl),
+        jax.device_put(views, data),
+        jax.device_put(segs, data),
+    )
+
+    # (a) tight raw-gradient parity, eval-mode norms
+    grad_fn = jax.value_and_grad(
+        make_loss(train=False), argnums=(0, 1), has_aux=True
+    )
+    (l1, _), (gg1, gf1) = jax.jit(grad_fn)(*args_repl)
+    (l2, _), (gg2, gf2) = jax.jit(
+        grad_fn,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl),
+    )(*args_shard)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for g1, g2 in ((gg1, gg2), (gf1, gf2)):
+        flat1 = jax.tree_util.tree_leaves_with_path(g1)
+        flat2 = jax.tree_util.tree_leaves(g2)
+        for (path, a), b in zip(flat1, flat2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    # (b) train-mode (BN batch stats) forward semantics: loss equality
+    loss_t = make_loss(train=True)
+    lt1, _ = jax.jit(loss_t)(*args_repl)
+    lt2, _ = jax.jit(
+        loss_t,
+        in_shardings=(repl, repl, data, data),
+        out_shardings=(repl, repl),
+    )(*args_shard)
+    assert float(lt1) == pytest.approx(float(lt2), rel=1e-5)
 
 
 def test_running_stats_updated():
