@@ -442,3 +442,75 @@ def test_d2s8_matches_composed_hw():
     np.testing.assert_allclose(
         packed.reshape(ref.shape), ref, rtol=1e-6, atol=1e-6
     )
+
+@pytest.mark.parametrize("flat", ["0", "1"])
+def test_trilinear_block_emit_forms_hw(flat, monkeypatch):
+    """Both stencil forms of the block-layout trilinear x2 emit (the
+    default-ON dev decoder upsample, round 4c `102dba6`/`576346d`) match
+    the spatial reference at a production extent on real hardware —
+    the r03 lesson: interpret-mode parity does not cover Mosaic/XLA-TPU
+    codegen (VERDICT r4 #7)."""
+    from anatomix_tpu.ops.pallas.conv3x3 import _space_to_depth
+    from anatomix_tpu.ops.resize import (
+        upsample2x,
+        upsample2x_trilinear_block,
+    )
+
+    monkeypatch.setenv("ANATOMIX_TRILIN_FLAT", flat)
+    # dev decoder level-1 production shape at 128-cube: (1, 32³, 64ch)
+    x = jax.jit(
+        lambda k: jax.random.normal(k, (1, 32, 32, 32, 64), jnp.float32)
+    )(jax.random.PRNGKey(11))
+    ref = np.asarray(
+        jax.jit(lambda v: _space_to_depth(upsample2x(v, "trilinear")))(x)
+    )
+    got = np.asarray(jax.jit(upsample2x_trilinear_block)(x))
+    if flat == "0":
+        np.testing.assert_array_equal(got, ref)
+    else:
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
+
+
+def test_dev_fused_cat_flat_defaults_hw():
+    """End-to-end dev-topology fused forward on HW with the round-5
+    default-ON levers (two-operand cat kernel + flat trilinear stencil +
+    act-into-norm fold on the live-IN path): tracks the f32 XLA ground
+    truth, and flipping the gates OFF changes nothing beyond bf16
+    association noise (VERDICT r4 #1/#7)."""
+    from anatomix_tpu.extract import make_feature_extractor
+    from anatomix_tpu.models.unet import UnetConfig, build_plan, init_params
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=32, num_downs=3,
+                   ngf=32, norm="instance", pooling="Avg",
+                   interp="trilinear", norm_eps=1e-2)
+    )
+    params = init_params(plan, jax.random.PRNGKey(12))
+    vol = jax.jit(
+        lambda k: jax.random.normal(k, (1, 64, 64, 64, 1), jnp.float32)
+    )(jax.random.PRNGKey(13))
+
+    def run(conv_impl, dtype, env):
+        for k, v in env.items():
+            os.environ[k] = v
+        try:
+            ext = make_feature_extractor(
+                plan, params, strategy="full", conv_impl=conv_impl,
+                compute_dtype=dtype,
+            )
+            return np.asarray(ext.impl(vol, ext.arrays))
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+
+    ref32 = run("xla", jnp.float32, {})
+    on = run("pallas_fused", jnp.bfloat16,
+             {"ANATOMIX_CAT_KERNEL": "1", "ANATOMIX_TRILIN_FLAT": "1"})
+    off = run("pallas_fused", jnp.bfloat16,
+              {"ANATOMIX_CAT_KERNEL": "0", "ANATOMIX_TRILIN_FLAT": "0"})
+    e_on = _rel_err(on, ref32)
+    e_off = _rel_err(off, ref32)
+    assert e_on < 3e-2, f"cat+flat error {e_on:.4f}"
+    assert e_on < 1.5 * e_off + 1e-3, (
+        f"cat+flat {e_on:.4f} vs gates-off {e_off:.4f}"
+    )
