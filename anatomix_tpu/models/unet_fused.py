@@ -286,6 +286,19 @@ def _s2d(x, interpret):
 def _d2s(y, interpret):
     if y.shape[-1] // 8 < 8:
         return _depth_to_space(y)
+    import os as _os_d2s
+
+    if _os_d2s.environ.get("ANATOMIX_D2S_EXIT", "interleave") != "plain":
+        # emit the spatial minor (2w, C) layout in-kernel: the plain
+        # form's trailing (w, 2C)->(2w, C) merge is an XLA relayout
+        # (reshape 1.34 + copy 0.85 ms of the 15.8 ms 6M fwd, wave-34
+        # trace); kernel HW-validated by
+        # test_d2s_interleave_matches_plain_hw
+        from anatomix_tpu.ops.pallas.reshuffle import (
+            depth_to_space_interleave,
+        )
+
+        return depth_to_space_interleave(y, interpret=interpret)
     return _d2s_pallas(y, interpret=interpret)
 
 

@@ -307,6 +307,173 @@ def conv_block_sparse_halo(
     )(dmap, hmap, x_block, w0, w1, w2, bias8)
 
 
+def _kernel_halo_wide(dmap_ref, hmap_ref, x_hbm, g1_ref, g2_ref, g3_ref,
+                      g4_ref, g5_ref, b_ref, out_ref, x_vmem, sems, *,
+                      td, th, W, ci, act, interpret):
+    """Wide-assembly variant of `_kernel_halo`: views grouped by maximal
+    contiguous lane runs (see `pack_sparse_block_weights_wide`) — the
+    interior GEMM's LHS is a direct full-lane VMEM slice (measured
+    ~2x the throughput of a thin-slice-assembled LHS), and every GEMM's
+    K is a multiple of 8*ci >= 128 (the narrow form's w-boundary GEMMs
+    run K = 4*ci = 64 at Ci=16: half-empty MXU K rows)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    for dma in _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref,
+                            i, j, td=td, th=th, w=W, off=off):
+        dma.wait()
+    x_vmem[:, :, off - 1] = x_vmem[:, :, off]
+    x_vmem[:, :, off + W] = x_vmem[:, :, off + W - 1]
+
+    base = off - 1
+    dn = (((3,), (0,)), ((), ()))
+    prec = _dot_precision(x_vmem.dtype)
+
+    def dot(lhs, w_ref):
+        return jax.lax.dot_general(
+            lhs, w_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    win = slice(base + 1, base + 1 + W)
+    # G1: all-interior — ONE direct slice, full 8*ci lanes
+    acc = dot(x_vmem[1: 1 + td, 1: 1 + th, win, :], g1_ref)
+    # G2: d-boundary — two 4*ci runs (pd fixed by the boundary parity)
+    acc += dot(
+        jnp.concatenate(
+            [
+                x_vmem[0: td, 1: 1 + th, win, 4 * ci: 8 * ci],
+                x_vmem[2: 2 + td, 1: 1 + th, win, 0: 4 * ci],
+            ],
+            axis=-1,
+        ),
+        g2_ref,
+    )
+    # G3: h-boundary, w interior — eight 2*ci runs
+    views = []
+    for vh in (-1, 2):
+        for vd in (-1, 0, 1, 2):
+            l0 = (_PAR[vd] * 2 + _PAR[vh]) * 2 * ci
+            views.append(
+                x_vmem[
+                    _OFF[vd]: _OFF[vd] + td,
+                    _OFF[vh]: _OFF[vh] + th,
+                    win,
+                    l0: l0 + 2 * ci,
+                ]
+            )
+    acc += dot(jnp.concatenate(views, axis=-1), g3_ref)
+    # G4/G5: w-boundary — sixteen ci runs each, merged to K = 16*ci
+    for vw, g_ref in ((-1, g4_ref), (2, g5_ref)):
+        views = []
+        for vd in (-1, 0, 1, 2):
+            for vh in (-1, 0, 1, 2):
+                l0 = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                views.append(
+                    x_vmem[
+                        _OFF[vd]: _OFF[vd] + td,
+                        _OFF[vh]: _OFF[vh] + th,
+                        base + _OFF[vw]: base + _OFF[vw] + W,
+                        l0: l0 + ci,
+                    ]
+                )
+        acc += dot(jnp.concatenate(views, axis=-1), g_ref)
+
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret")
+)
+def conv_block_sparse_halo_wide(
+    x_block: jax.Array,  # (B, d, h, w, 8*Ci) block layout, UN-halo'd
+    g1: jax.Array,
+    g2: jax.Array,
+    g3: jax.Array,
+    g4: jax.Array,
+    g5: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """`conv_block_sparse_halo` with the wide-assembly GEMM grouping
+    (`pack_sparse_block_weights_wide`). Same math, different f32
+    accumulation order."""
+    B, d, h, w, c8 = x_block.shape
+    ci = c8 // 8
+    co8 = g1.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    td, th = _pick_tile(
+        d, h, Wp, ci, co8 // 8, itemsize=x_block.dtype.itemsize
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(_kernel_halo_wide, td=td, th=th, W=w, ci=ci,
+                               act=act, interpret=interpret)
+    flops = 2 * B * d * h * w * 64 * ci * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, x_block, g1, g2, g3, g4, g5, bias8)
+
+
+def _sparse_full_tensor(w: np.ndarray) -> np.ndarray:
+    """DHWIO (3,3,3,Ci,Co) -> (Vd, Vh, Vw, Ci, 8*Co) tap-view tensor:
+    entry [v+1, ...] holds the weight rows of the per-axis shifted view
+    v in {-1, 0, 1, 2} (see module docstring); N cols are output
+    sub-position (ad, ah, aw)-major channel-minor."""
+    w = np.asarray(w)
+    ci, co = w.shape[3], w.shape[4]
+    full = np.zeros((4, 4, 4, ci, 2, 2, 2, co), w.dtype)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                for kd in range(3):
+                    for kh in range(3):
+                        for kw in range(3):
+                            vd, vh, vw = ad + kd - 1, ah + kh - 1, aw + kw - 1
+                            full[vd + 1, vh + 1, vw + 1, :, ad, ah, aw, :] \
+                                += w[kd, kh, kw]
+    return full.reshape(4, 4, 4, ci, 8 * co)
+
+
 def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
     """DHWIO (3,3,3,Ci,Co) -> sparse block GEMM weights, split into the
     three w-offset groups the kernel GEMMs separately:
@@ -320,21 +487,49 @@ def pack_sparse_block_weights(w: np.ndarray) -> tuple[np.ndarray, ...]:
     """
     w = np.asarray(w)
     ci, co = w.shape[3], w.shape[4]
-    full = np.zeros((4, 4, 4, ci, 2, 2, 2, co), w.dtype)
-    for ad in range(2):
-        for ah in range(2):
-            for aw in range(2):
-                for kd in range(3):
-                    for kh in range(3):
-                        for kw in range(3):
-                            vd, vh, vw = ad + kd - 1, ah + kh - 1, aw + kw - 1
-                            full[vd + 1, vh + 1, vw + 1, :, ad, ah, aw, :] \
-                                += w[kd, kh, kw]
-    full = full.reshape(4, 4, 4 * ci, 8 * co)
+    full = _sparse_full_tensor(w).reshape(4, 4, 4 * ci, 8 * co)
     w0 = full[:, :, :ci].reshape(16 * ci, 8 * co)
     w1 = full[:, :, ci: 3 * ci].reshape(32 * ci, 8 * co)
     w2 = full[:, :, 3 * ci:].reshape(16 * ci, 8 * co)
     return w0, w1, w2
+
+
+def pack_sparse_block_weights_wide(w: np.ndarray) -> tuple[np.ndarray, ...]:
+    """DHWIO -> the WIDE-assembly GEMM groups. The 64 shifted views are
+    regrouped by maximal contiguous lane runs of the block tile (lane =
+    ((pd*2+ph)*2+pw)*ci + c, parity bits p = PAR[v]):
+
+        g1 (8*Ci,  8*Co)  all-interior views — the LHS is ONE direct
+                          full-lane VMEM slice, no assembly at all
+        g2 (8*Ci,  8*Co)  d-boundary, h/w interior — two 4*Ci slices
+        g3 (16*Ci, 8*Co)  h-boundary, w interior — eight 2*Ci slices
+        g4 (16*Ci, 8*Co)  vw = -1 — sixteen Ci slices
+        g5 (16*Ci, 8*Co)  vw =  2 — sixteen Ci slices
+
+    vs the (vd-chunked) narrow pack whose every LHS is assembled from
+    Ci-wide slices and whose w-boundary GEMMs run K = 4*Ci (64 lanes at
+    Ci=16 — half-empty MXU K rows). Row orders must match the slice
+    enumeration in `_kernel_halo_wide` exactly.
+    """
+    w = np.asarray(w)
+    full = _sparse_full_tensor(w)
+
+    def rows(entries):
+        return np.concatenate([full[vd + 1, vh + 1, vw + 1]
+                               for vd, vh, vw in entries], axis=0)
+
+    inner2 = (0, 1)
+    g1 = rows([(vd, vh, vw) for vd in inner2 for vh in inner2
+               for vw in inner2])
+    g2 = rows([(vd, vh, vw) for vd in (-1, 2) for vh in inner2
+               for vw in inner2])
+    g3 = rows([(vd, vh, vw) for vh in (-1, 2) for vd in (-1, 0, 1, 2)
+               for vw in inner2])
+    g4 = rows([(vd, vh, -1) for vd in (-1, 0, 1, 2)
+               for vh in (-1, 0, 1, 2)])
+    g5 = rows([(vd, vh, 2) for vd in (-1, 0, 1, 2)
+               for vh in (-1, 0, 1, 2)])
+    return g1, g2, g3, g4, g5
 
 
 _VMEM_LIMIT = 40 * 2 ** 20  # raised scoped-vmem limit (v5e: 128 MB phys)
@@ -480,7 +675,7 @@ def prepack_sparse(
         b, np.float32
     )
     w0, w1, w2 = pack_sparse_block_weights(w)
-    return {
+    packed = {
         "w0": jnp.asarray(w0).astype(compute_dtype),
         "w1": jnp.asarray(w1).astype(compute_dtype),
         "w2": jnp.asarray(w2).astype(compute_dtype),
@@ -489,6 +684,13 @@ def prepack_sparse(
         "ci": ci,
         "co": co,
     }
+    # wide-assembly grouping for the halo kernel (same bytes total; the
+    # kernel loads only the variant it uses)
+    for name, g in zip(
+        ("g1", "g2", "g3", "g4", "g5"), pack_sparse_block_weights_wide(w)
+    ):
+        packed[name] = jnp.asarray(g).astype(compute_dtype)
+    return packed
 
 
 def conv_block_sparse(
@@ -519,6 +721,17 @@ def conv_block_sparse(
         and not emit_full
         and os.environ.get("ANATOMIX_HALO", "1") != "0"
     ):
+        if (
+            "g1" in packed
+            and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+        ):
+            return conv_block_sparse_halo_wide(
+                x_block, packed["g1"], packed["g2"], packed["g3"],
+                packed["g4"], packed["g5"], packed["b8"],
+                act=packed["act"],
+                out_dtype=out_dtype or x_block.dtype,
+                interpret=interpret,
+            )
         return conv_block_sparse_halo(
             x_block, packed["w0"], packed["w1"], packed["w2"],
             packed["b8"], act=packed["act"],

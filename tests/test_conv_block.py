@@ -360,3 +360,36 @@ def test_unet_fused_4d_entry_matches_5d(rng, monkeypatch):
         assert np.abs(got - ref).max() <= 1e-4 * np.abs(ref).max(), (
             f"entry4={entry4}"
         )
+
+
+@pytest.mark.parametrize("ci,co", [(16, 16), (32, 64)])
+def test_conv_block_sparse_wide_matches_narrow(rng, ci, co, monkeypatch):
+    """The wide-assembly halo kernel (views merged into maximal
+    contiguous lane runs, `pack_sparse_block_weights_wide`) computes the
+    same conv as the narrow vd-chunked form — different f32 accumulation
+    order only — and `ANATOMIX_WIDE=1` routes `conv_block_sparse` to it.
+    """
+    from anatomix_tpu.ops.pallas.conv_block import (
+        conv_block_sparse,
+        prepack_sparse,
+    )
+
+    s = 8
+    x = jnp.asarray(
+        rng.standard_normal((1, s, s, s, 8 * ci)).astype(np.float32)
+    )
+    wt = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, ci, co)) * 0.05).astype(np.float32)
+    )
+    b = jnp.asarray(rng.standard_normal((co,)).astype(np.float32))
+    packed = prepack_sparse(wt, b, act="lrelu", compute_dtype=jnp.float32)
+
+    monkeypatch.setenv("ANATOMIX_WIDE", "0")
+    ref = np.asarray(
+        conv_block_sparse(x, packed, pad_type="reflect", interpret=True)
+    )
+    monkeypatch.setenv("ANATOMIX_WIDE", "1")
+    wide = np.asarray(
+        conv_block_sparse(x, packed, pad_type="reflect", interpret=True)
+    )
+    np.testing.assert_allclose(wide, ref, atol=1e-4, rtol=1e-4)
