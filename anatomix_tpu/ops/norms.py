@@ -169,7 +169,9 @@ def batch_norm_inference(
 def _bn_train_impl(x, scale, bias, eps, axis_name):
     """Shared forward: returns (y, mean, biased var, inv)."""
     x32 = x.astype(jnp.float32)
-    reduce_axes = (0, 1, 2, 3)
+    # reduce every non-channel axis: 5-D spatial (B, D, H, W, C) or the
+    # 6-D block-layout view (B, d, h, w, 8, C)
+    reduce_axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(x32, axis=reduce_axes)
     mean_sq = jnp.mean(jnp.square(x32), axis=reduce_axes)
     if axis_name is not None:
@@ -220,12 +222,13 @@ def _bn_train_norm_fwd(x, scale, bias, eps, axis_name):
 def _bn_train_norm_bwd(eps, axis_name, res, cots):
     x, mean, inv, scale = res
     dy, dmean, dvar = cots
-    n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    reduce_axes = tuple(range(x.ndim - 1))
+    n = int(np.prod([x.shape[a] for a in reduce_axes]))
     dy32 = dy.astype(jnp.float32)
     xc = x.astype(jnp.float32) - mean
     xhat = xc * inv
-    s_dy = jnp.sum(dy32, axis=(0, 1, 2, 3))
-    s_dyx = jnp.sum(dy32 * xhat, axis=(0, 1, 2, 3))
+    s_dy = jnp.sum(dy32, axis=reduce_axes)
+    s_dyx = jnp.sum(dy32 * xhat, axis=reduce_axes)
     if axis_name is not None:
         n = n * jax.lax.psum(1, axis_name)
         s_dy = jax.lax.psum(s_dy, axis_name)
@@ -272,13 +275,54 @@ def batch_norm_train(
         y, mean, var = _bn_train_norm(x, scale, bias, eps, axis_name)
     else:
         y, mean, var, _ = _bn_train_impl(x, scale, bias, eps, axis_name)
-    n = x.shape[0] * x.shape[1] * x.shape[2] * x.shape[3]
+    n = int(np.prod(x.shape[:-1]))
     if axis_name is not None:
         n = n * jax.lax.psum(1, axis_name)
     unbiased = var * (n / max(n - 1, 1))
     new_mean = (1 - momentum) * running_mean + momentum * mean
     new_var = (1 - momentum) * running_var + momentum * unbiased
     return y, new_mean, new_var
+
+
+def batch_norm_train_block(
+    xb: jax.Array,  # (B, d, h, w, 8*C) block layout
+    running_mean: jax.Array,
+    running_var: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    eps: float = 1e-5,
+    momentum: float = 0.1,
+    axis_name: str | None = None,
+):
+    """`batch_norm_train` on a block-layout tensor: statistics pool over
+    batch, block-space and the 8 sub-position lane groups — exactly the
+    full-resolution batch statistics (the lane-dim split view is free in
+    XLA; same trick as the fused inference instance norm)."""
+    B, d, h, w, c8 = xb.shape
+    x6 = xb.reshape(B, d, h, w, 8, c8 // 8)
+    y6, m, v = batch_norm_train(
+        x6, running_mean, running_var, scale, bias,
+        eps=eps, momentum=momentum, axis_name=axis_name,
+    )
+    return y6.reshape(xb.shape), m, v
+
+
+def batch_norm_inference_block(
+    xb: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    *,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """`batch_norm_inference` on a block-layout tensor (per-channel affine
+    with parameters tiled over the 8 sub-position lane groups)."""
+    tile8 = lambda t: jnp.tile(t, 8)
+    return batch_norm_inference(
+        xb, tile8(mean), tile8(var), tile8(scale), tile8(bias), eps=eps
+    )
 
 
 def channel_demean(x: jax.Array) -> jax.Array:

@@ -36,6 +36,30 @@ def _backbone_forward(plan, params_g, x, tap_layers, train, compute_dtype,
     `supcl_model.py:404-410`)."""
     if isinstance(plan, UnetPlan):
         if train:
+            import os as _os
+
+            if conv_impl in ("pallas_train", "pallas_train_block"):
+                from anatomix_tpu.models.unet_train_block import (
+                    train_block_eligible,
+                    unet_apply_train_block,
+                )
+
+                forced = conv_impl == "pallas_train_block"
+                if train_block_eligible(plan) and (
+                    forced
+                    or _os.environ.get("ANATOMIX_TRAIN_BLOCK", "1") != "0"
+                ):
+                    # whole-level block-space walk: kills the per-conv
+                    # s2d/d2s round trips + spatial pool/BN relayouts
+                    # (~55 ms of the 261 ms wave-35 step trace)
+                    _, taps, new_stats = unet_apply_train_block(
+                        plan, params_g, x, layers=tap_layers,
+                        compute_dtype=compute_dtype,
+                        bn_axis_name=bn_axis_name,
+                        eval_norm_layers=eval_norm_layers,
+                        interpret=jax.default_backend() == "cpu",
+                    )
+                    return taps, new_stats
             _, taps, new_stats = unet_apply(
                 plan, params_g, x, layers=tap_layers, train=True,
                 compute_dtype=compute_dtype, bn_axis_name=bn_axis_name,

@@ -378,3 +378,70 @@ def test_multidevice_dp_raw_grads_match_single():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
         )
+
+
+def test_train_block_walk_matches_xla():
+    """The whole-level block-space train forward (round 5,
+    `models/unet_train_block.py`) computes the same loss and gradients
+    as the spatial XLA path at f32 — including BN batch stats with
+    lane-group reductions and the first-argmax pool VJP."""
+    from anatomix_tpu.models.unet import UnetConfig, build_plan
+    from anatomix_tpu.pretraining import init_train_state
+    from anatomix_tpu.pretraining.train_step import NCEOptions, nce_forward
+
+    plan = build_plan(
+        UnetConfig(dimension=3, input_nc=1, output_nc=16, num_downs=2,
+                   ngf=16)
+    )
+    taps = (plan.encoder_idx[-1], plan.num_layers - 1)
+    state = init_train_state(
+        plan, jax.random.PRNGKey(0), tap_layers=taps, num_patches=32,
+        netf_nc=16, lr=1e-3,
+    )
+    rng_np = np.random.default_rng(3)
+    views = jnp.asarray(
+        rng_np.standard_normal((2, 2, 16, 16, 16, 1)).astype(np.float32)
+    )
+    segs = jnp.asarray(
+        rng_np.integers(0, 3, (2, 16, 16, 16, 1)).astype(np.int32)
+    )
+    key = jax.random.PRNGKey(9)
+
+    def make_loss(impl):
+        def loss_fn(pg, pf):
+            return nce_forward(
+                plan, pg, pf, views, segs, key, tap_layers=taps,
+                num_patches=32, nce=NCEOptions(),
+                compute_dtype=jnp.float32, conv_impl=impl,
+            )
+        return loss_fn
+
+    (l_ref, aux_ref), (gg_ref, gf_ref) = jax.jit(
+        jax.value_and_grad(make_loss("xla"), argnums=(0, 1), has_aux=True)
+    )(state.params_g, state.params_f)
+    (l_blk, aux_blk), (gg_blk, gf_blk) = jax.jit(
+        jax.value_and_grad(
+            make_loss("pallas_train_block"), argnums=(0, 1), has_aux=True
+        )
+    )(state.params_g, state.params_f)
+
+    assert float(l_ref) == pytest.approx(float(l_blk), rel=2e-5)
+    # BN batch stats identical (lane-group vs spatial reductions)
+    for k, (m_ref, v_ref) in aux_ref["new_g_stats"].items():
+        m_blk, v_blk = aux_blk["new_g_stats"][k]
+        np.testing.assert_allclose(
+            np.asarray(m_ref), np.asarray(m_blk), atol=1e-5, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(v_ref), np.asarray(v_blk), atol=1e-5, rtol=1e-5
+        )
+    for g_ref, g_blk in ((gg_ref, gg_blk), (gf_ref, gf_blk)):
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat_blk = jax.tree_util.tree_leaves(g_blk)
+        for (path, a), b in zip(flat_ref, flat_blk):
+            scale = max(1.0, float(np.abs(np.asarray(a)).max()))
+            np.testing.assert_allclose(
+                np.asarray(a) / scale, np.asarray(b) / scale,
+                atol=5e-5, rtol=5e-5,
+                err_msg=jax.tree_util.keystr(path),
+            )
