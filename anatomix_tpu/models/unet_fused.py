@@ -256,8 +256,13 @@ def prepack_fused(plan: UnetPlan, params: dict[str, Any],
                 impl="sparse_skip",
             )
         elif impl == "sparse":
+            # skip-concat convs (trilinear decoders, or nearest ones the
+            # fused skip kernel declined) may defer the concat to the
+            # two-operand cat kernel — emit its wide pack too
+            cat_c1 = _skip_c1(plan, idx)
             p["fused"] = dict(
-                prepack_sparse(w, b, act=act, compute_dtype=compute_dtype),
+                prepack_sparse(w, b, act=act, compute_dtype=compute_dtype,
+                               cat_c1=cat_c1),
                 impl="sparse",
             )
         else:
@@ -288,12 +293,18 @@ def _d2s(y, interpret):
         return _depth_to_space(y)
     import os as _os_d2s
 
-    if _os_d2s.environ.get("ANATOMIX_D2S_EXIT", "interleave") != "plain":
+    if (
+        _os_d2s.environ.get("ANATOMIX_D2S_EXIT", "plain") == "interleave"
+        and y.shape[-1] // 8 <= 32
+    ):
         # emit the spatial minor (2w, C) layout in-kernel: the plain
         # form's trailing (w, 2C)->(2w, C) merge is an XLA relayout
         # (reshape 1.34 + copy 0.85 ms of the 15.8 ms 6M fwd, wave-34
-        # trace); kernel HW-validated by
-        # test_d2s_interleave_matches_plain_hw
+        # trace). OPT-IN: the in-kernel (w, 2C)->(2w, C) value reshape
+        # is a lane->sublane cast that real Mosaic accepts only for
+        # narrow lane counts — 2C=128 (C=64) fails compile
+        # ("infer-vector-layout: unsupported shape cast", wave 36);
+        # C<=32 is HW-validated by test_d2s_interleave_matches_plain_hw.
         from anatomix_tpu.ops.pallas.reshuffle import (
             depth_to_space_interleave,
         )

@@ -307,6 +307,55 @@ def conv_block_sparse_halo(
     )(dmap, hmap, x_block, w0, w1, w2, bias8)
 
 
+# wide-assembly view groups, shared by the weight packers and kernels:
+# each group's views merge into uniform contiguous lane runs of the block
+# tile (lane = ((pd*2+ph)*2+pw)*ci + c). Entry order here MUST match the
+# slice enumeration in `_wide_slices`.
+_WIDE_GROUPS = (
+    # g1: all-interior — one direct full-lane slice
+    [(vd, vh, vw) for vd in (0, 1) for vh in (0, 1) for vw in (0, 1)],
+    # g2: d-boundary, h/w interior — two 4*ci runs
+    [(vd, vh, vw) for vd in (-1, 2) for vh in (0, 1) for vw in (0, 1)],
+    # g3: h-boundary, w interior — eight 2*ci runs
+    [(vd, vh, vw) for vh in (-1, 2) for vd in (-1, 0, 1, 2)
+     for vw in (0, 1)],
+    # g4/g5: w-boundary — sixteen ci runs each
+    [(vd, vh, -1) for vd in (-1, 0, 1, 2) for vh in (-1, 0, 1, 2)],
+    [(vd, vh, 2) for vd in (-1, 0, 1, 2) for vh in (-1, 0, 1, 2)],
+)
+
+
+def _wide_slices(v, ci, td, th, W, base):
+    """Per-GEMM-group LHS slice lists (lane-run merged) of a halo'd VMEM
+    tile `v` with `8*ci` lanes; group order matches `_WIDE_GROUPS`."""
+    win = slice(base + 1, base + 1 + W)
+    g1 = [v[1: 1 + td, 1: 1 + th, win, 0: 8 * ci]]
+    g2 = [
+        v[0: td, 1: 1 + th, win, 4 * ci: 8 * ci],
+        v[2: 2 + td, 1: 1 + th, win, 0: 4 * ci],
+    ]
+    g3 = []
+    for vh in (-1, 2):
+        for vd in (-1, 0, 1, 2):
+            l0 = (_PAR[vd] * 2 + _PAR[vh]) * 2 * ci
+            g3.append(
+                v[_OFF[vd]: _OFF[vd] + td, _OFF[vh]: _OFF[vh] + th, win,
+                  l0: l0 + 2 * ci]
+            )
+    g45 = []
+    for vw in (-1, 2):
+        gl = []
+        for vd in (-1, 0, 1, 2):
+            for vh in (-1, 0, 1, 2):
+                l0 = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
+                gl.append(
+                    v[_OFF[vd]: _OFF[vd] + td, _OFF[vh]: _OFF[vh] + th,
+                      base + _OFF[vw]: base + _OFF[vw] + W, l0: l0 + ci]
+                )
+        g45.append(gl)
+    return [g1, g2, g3, g45[0], g45[1]]
+
+
 def _kernel_halo_wide(dmap_ref, hmap_ref, x_hbm, g1_ref, g2_ref, g3_ref,
                       g4_ref, g5_ref, b_ref, out_ref, x_vmem, sems, *,
                       td, th, W, ci, act, interpret):
@@ -330,55 +379,19 @@ def _kernel_halo_wide(dmap_ref, hmap_ref, x_hbm, g1_ref, g2_ref, g3_ref,
     dn = (((3,), (0,)), ((), ()))
     prec = _dot_precision(x_vmem.dtype)
 
-    def dot(lhs, w_ref):
-        return jax.lax.dot_general(
+    acc = None
+    for slices, w_ref in zip(
+        _wide_slices(x_vmem, ci, td, th, W, base),
+        (g1_ref, g2_ref, g3_ref, g4_ref, g5_ref),
+    ):
+        lhs = slices[0] if len(slices) == 1 else jnp.concatenate(
+            slices, axis=-1
+        )
+        z = jax.lax.dot_general(
             lhs, w_ref[...], dn,
             preferred_element_type=jnp.float32, precision=prec,
         )
-
-    win = slice(base + 1, base + 1 + W)
-    # G1: all-interior — ONE direct slice, full 8*ci lanes
-    acc = dot(x_vmem[1: 1 + td, 1: 1 + th, win, :], g1_ref)
-    # G2: d-boundary — two 4*ci runs (pd fixed by the boundary parity)
-    acc += dot(
-        jnp.concatenate(
-            [
-                x_vmem[0: td, 1: 1 + th, win, 4 * ci: 8 * ci],
-                x_vmem[2: 2 + td, 1: 1 + th, win, 0: 4 * ci],
-            ],
-            axis=-1,
-        ),
-        g2_ref,
-    )
-    # G3: h-boundary, w interior — eight 2*ci runs
-    views = []
-    for vh in (-1, 2):
-        for vd in (-1, 0, 1, 2):
-            l0 = (_PAR[vd] * 2 + _PAR[vh]) * 2 * ci
-            views.append(
-                x_vmem[
-                    _OFF[vd]: _OFF[vd] + td,
-                    _OFF[vh]: _OFF[vh] + th,
-                    win,
-                    l0: l0 + 2 * ci,
-                ]
-            )
-    acc += dot(jnp.concatenate(views, axis=-1), g3_ref)
-    # G4/G5: w-boundary — sixteen ci runs each, merged to K = 16*ci
-    for vw, g_ref in ((-1, g4_ref), (2, g5_ref)):
-        views = []
-        for vd in (-1, 0, 1, 2):
-            for vh in (-1, 0, 1, 2):
-                l0 = ((_PAR[vd] * 2 + _PAR[vh]) * 2 + _PAR[vw]) * ci
-                views.append(
-                    x_vmem[
-                        _OFF[vd]: _OFF[vd] + td,
-                        _OFF[vh]: _OFF[vh] + th,
-                        base + _OFF[vw]: base + _OFF[vw] + W,
-                        l0: l0 + ci,
-                    ]
-                )
-        acc += dot(jnp.concatenate(views, axis=-1), g_ref)
+        acc = z if acc is None else acc + z
 
     acc = acc + b_ref[0].astype(jnp.float32)
     acc = _apply_act(acc, act)
@@ -513,23 +526,37 @@ def pack_sparse_block_weights_wide(w: np.ndarray) -> tuple[np.ndarray, ...]:
     """
     w = np.asarray(w)
     full = _sparse_full_tensor(w)
+    return tuple(
+        np.concatenate(
+            [full[vd + 1, vh + 1, vw + 1] for vd, vh, vw in entries],
+            axis=0,
+        )
+        for entries in _WIDE_GROUPS
+    )
 
-    def rows(entries):
-        return np.concatenate([full[vd + 1, vh + 1, vw + 1]
-                               for vd, vh, vw in entries], axis=0)
 
-    inner2 = (0, 1)
-    g1 = rows([(vd, vh, vw) for vd in inner2 for vh in inner2
-               for vw in inner2])
-    g2 = rows([(vd, vh, vw) for vd in (-1, 2) for vh in inner2
-               for vw in inner2])
-    g3 = rows([(vd, vh, vw) for vh in (-1, 2) for vd in (-1, 0, 1, 2)
-               for vw in inner2])
-    g4 = rows([(vd, vh, -1) for vd in (-1, 0, 1, 2)
-               for vh in (-1, 0, 1, 2)])
-    g5 = rows([(vd, vh, 2) for vd in (-1, 0, 1, 2)
-               for vh in (-1, 0, 1, 2)])
-    return g1, g2, g3, g4, g5
+def pack_sparse_block_weights_wide_cat(
+    w: np.ndarray, c1: int
+) -> tuple[np.ndarray, ...]:
+    """Wide-assembly pack for the TWO-OPERAND skip conv: the full conv
+    weight (Ci = c1 + c2 in model concat order) split per operand, each
+    packed per `_WIDE_GROUPS`, rows stacked [encoder group | feature
+    group] — the kernel's LHS concatenates all encoder lane runs of a
+    group before all feature runs (the per-view interleave of the narrow
+    cat kernel would break the run merging)."""
+    w = np.asarray(w)
+    fe = _sparse_full_tensor(w[:, :, :, :c1])
+    ff = _sparse_full_tensor(w[:, :, :, c1:])
+    outs = []
+    for entries in _WIDE_GROUPS:
+        rows_e = np.concatenate(
+            [fe[vd + 1, vh + 1, vw + 1] for vd, vh, vw in entries], axis=0
+        )
+        rows_f = np.concatenate(
+            [ff[vd + 1, vh + 1, vw + 1] for vd, vh, vw in entries], axis=0
+        )
+        outs.append(np.concatenate([rows_e, rows_f], axis=0))
+    return tuple(outs)
 
 
 _VMEM_LIMIT = 40 * 2 ** 20  # raised scoped-vmem limit (v5e: 128 MB phys)
@@ -667,8 +694,11 @@ def prepack_sparse(
     *,
     act: str = "none",
     compute_dtype=jnp.bfloat16,
+    cat_c1: int = 0,
 ) -> dict:
-    """Host-side weight repack for the sparse block kernel."""
+    """Host-side weight repack for the sparse block kernel. With
+    `cat_c1 > 0` (a skip-concat conv whose first cat_c1 input channels
+    are the encoder tap) the wide two-operand pack is emitted too."""
     w = np.asarray(w, np.float32)
     ci, co = w.shape[3], w.shape[4]
     b = np.zeros((co,), np.float32) if b is None else np.asarray(
@@ -690,6 +720,13 @@ def prepack_sparse(
         ("g1", "g2", "g3", "g4", "g5"), pack_sparse_block_weights_wide(w)
     ):
         packed[name] = jnp.asarray(g).astype(compute_dtype)
+    if cat_c1 > 0:
+        packed["cat_c1"] = cat_c1
+        for name, g in zip(
+            ("h1", "h2", "h3", "h4", "h5"),
+            pack_sparse_block_weights_wide_cat(w, cat_c1),
+        ):
+            packed[name] = jnp.asarray(g).astype(compute_dtype)
     return packed
 
 
@@ -723,6 +760,9 @@ def conv_block_sparse(
     ):
         if (
             "g1" in packed
+            # wave-36 standalone A/B: wide wins at block extents >= 32
+            # (-16/-20%), loses at 16 (+15%) — gate by extent
+            and x_block.shape[3] >= 32
             and os.environ.get("ANATOMIX_WIDE", "0") == "1"
         ):
             return conv_block_sparse_halo_wide(
@@ -893,6 +933,120 @@ def conv_block_sparse_cat_halo(
     )(dmap, hmap, enc_block, feat_block, w0, w1, w2, bias8)
 
 
+def _kernel_cat_halo_wide(dmap_ref, hmap_ref, a_hbm, f_hbm, h1_ref, h2_ref,
+                          h3_ref, h4_ref, h5_ref, b_ref, out_ref, a_vmem,
+                          f_vmem, sems, *, td, th, W, c1, c2, act,
+                          interpret):
+    """Wide-assembly two-operand skip conv: per GEMM group the LHS is
+    [all encoder lane runs | all feature lane runs] (weights packed by
+    `pack_sparse_block_weights_wide_cat`)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    dmas = _halo_copies(a_hbm, a_vmem, sems, b, dmap_ref, hmap_ref,
+                        i, j, td=td, th=th, w=W, off=off)
+    dmas += _halo_copies(f_hbm, f_vmem, sems, b, dmap_ref, hmap_ref,
+                         i, j, td=td, th=th, w=W, off=off, sem_base=9)
+    for dma in dmas:
+        dma.wait()
+    a_vmem[:, :, off - 1] = a_vmem[:, :, off]
+    a_vmem[:, :, off + W] = a_vmem[:, :, off + W - 1]
+    f_vmem[:, :, off - 1] = f_vmem[:, :, off]
+    f_vmem[:, :, off + W] = f_vmem[:, :, off + W - 1]
+
+    base = off - 1
+    dn = (((3,), (0,)), ((), ()))
+    prec = _dot_precision(a_vmem.dtype)
+
+    acc = None
+    for enc_sl, feat_sl, w_ref in zip(
+        _wide_slices(a_vmem, c1, td, th, W, base),
+        _wide_slices(f_vmem, c2, td, th, W, base),
+        (h1_ref, h2_ref, h3_ref, h4_ref, h5_ref),
+    ):
+        lhs = jnp.concatenate(enc_sl + feat_sl, axis=-1)
+        z = jax.lax.dot_general(
+            lhs, w_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = z if acc is None else acc + z
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret")
+)
+def conv_block_sparse_cat_halo_wide(
+    enc_block: jax.Array,   # (B, d, h, w, 8*c1) block layout, UN-halo'd
+    feat_block: jax.Array,  # (B, d, h, w, 8*c2) block layout, UN-halo'd
+    h1: jax.Array,
+    h2: jax.Array,
+    h3: jax.Array,
+    h4: jax.Array,
+    h5: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """`conv_block_sparse_cat_halo` with the wide-assembly grouping."""
+    B, d, h, w, c18 = enc_block.shape
+    c1 = c18 // 8
+    c2 = feat_block.shape[-1] // 8
+    co8 = h1.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    td, th = _pick_tile(
+        d, h, Wp, c1 + c2, co8 // 8, itemsize=enc_block.dtype.itemsize
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(_kernel_cat_halo_wide, td=td, th=th, W=w,
+                               c1=c1, c2=c2, act=act, interpret=interpret)
+    flops = 2 * B * d * h * w * 64 * (c1 + c2) * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # enc stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # feat stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * c1), enc_block.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * c2), feat_block.dtype),
+            pltpu.SemaphoreType.DMA((18,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=enc_block.nbytes + feat_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, enc_block, feat_block, h1, h2, h3, h4, h5, bias8)
+
+
 def sparse_cat_eligible(
     c1: int, c2: int, w: int, pad_type: str, co: int | None = None
 ) -> bool:
@@ -928,6 +1082,21 @@ def conv_block_sparse_cat(
     """Dispatch for the two-operand skip conv (reflect padding only —
     callers check `sparse_cat_eligible` and fall back to the materialized
     concat + `conv_block_sparse` otherwise)."""
+    import os
+
+    c1 = enc_block.shape[-1] // 8
+    if (
+        "h1" in packed
+        and packed.get("cat_c1") == c1
+        and enc_block.shape[3] >= 32
+        and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+    ):
+        return conv_block_sparse_cat_halo_wide(
+            enc_block, feat_block, packed["h1"], packed["h2"],
+            packed["h3"], packed["h4"], packed["h5"], packed["b8"],
+            act=packed["act"], out_dtype=out_dtype or enc_block.dtype,
+            interpret=interpret,
+        )
     return conv_block_sparse_cat_halo(
         enc_block, feat_block, packed["w0"], packed["w1"], packed["w2"],
         packed["b8"], act=packed["act"],
@@ -1167,6 +1336,136 @@ def conv_block_skip_halo(
     )(dmap, hmap, enc_block, sm_padded, w0, w1, w2, bias8)
 
 
+def _kernel_skip_halo_wide(dmap_ref, hmap_ref, enc_hbm, sm_hbm, s1_ref,
+                           s2_ref, s3_ref, s4_ref, s5_ref, m0_ref, m1_ref,
+                           m2_ref, b_ref, out_ref, enc_vmem, sm_vmem,
+                           sems, *, td, th, W, c1, c2, act, interpret):
+    """`_kernel_skip_halo` with the encoder side wide-assembled
+    (5 lane-run-merged GEMMs, `pack_sparse_block_weights_wide` on the
+    encoder weight block) and the small-tensor side unchanged (3
+    per-w-offset GEMMs)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    dma_s = pltpu.make_async_copy(
+        sm_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        sm_vmem, sems.at[9],
+    )
+    dma_s.start()
+    dmas = _halo_copies(enc_hbm, enc_vmem, sems, b, dmap_ref, hmap_ref,
+                        i, j, td=td, th=th, w=W, off=off)
+    for dma in dmas:
+        dma.wait()
+    enc_vmem[:, :, off - 1] = enc_vmem[:, :, off]
+    enc_vmem[:, :, off + W] = enc_vmem[:, :, off + W - 1]
+    dma_s.wait()
+
+    base = off - 1
+    dn = (((3,), (0,)), ((), ()))
+    prec = _dot_precision(enc_vmem.dtype)
+
+    acc = None
+    for slices, w_ref in zip(
+        _wide_slices(enc_vmem, c1, td, th, W, base),
+        (s1_ref, s2_ref, s3_ref, s4_ref, s5_ref),
+    ):
+        lhs = slices[0] if len(slices) == 1 else jnp.concatenate(
+            slices, axis=-1
+        )
+        z = jax.lax.dot_general(
+            lhs, w_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = z if acc is None else acc + z
+
+    for gw, m_ref in enumerate((m0_ref, m1_ref, m2_ref)):
+        views = [
+            sm_vmem[od: od + td, oh: oh + th, gw: gw + W, :c2]
+            for od in (0, 1, 2)
+            for oh in (0, 1, 2)
+        ]
+        acc += jax.lax.dot_general(
+            jnp.concatenate(views, axis=-1), m_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret", "out_w")
+)
+def conv_block_skip_halo_wide(
+    enc_block: jax.Array,  # (B, d, h, w, 8*c1) block layout, UN-halo'd
+    sm_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), c2p) halo'd
+    s1: jax.Array, s2: jax.Array, s3: jax.Array, s4: jax.Array,
+    s5: jax.Array,
+    m0: jax.Array, m1: jax.Array, m2: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    out_w: int | None = None,
+) -> jax.Array:
+    B, d, h, w, c8 = enc_block.shape
+    c1 = c8 // 8
+    c2p = sm_padded.shape[-1]
+    c2 = m0.shape[0] // 9
+    co8 = s1.shape[-1]
+    if sm_padded.shape[3] % 8:
+        sm_padded = jnp.pad(
+            sm_padded,
+            ((0, 0),) * 3 + ((0, (-sm_padded.shape[3]) % 8), (0, 0)),
+        )
+    off = 8
+    Wp_enc = off + w + 1
+    Wp_sm = sm_padded.shape[3]
+
+    td, th = _pick_tile_skip(
+        d, h, max(Wp_enc, Wp_sm), c1, c2, co8 // 8, c2p=c2p,
+        itemsize=enc_block.dtype.itemsize,
+    )
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(
+        _kernel_skip_halo_wide, td=td, th=th, W=w, c1=c1, c2=c2, act=act,
+        interpret=interpret,
+    )
+    flops = 2 * B * d * h * w * (64 * c1 + 27 * c2) * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp_enc, c8), enc_block.dtype),
+            pltpu.VMEM((td + 2, th + 2, Wp_sm, c2p), sm_padded.dtype),
+            pltpu.SemaphoreType.DMA((10,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=enc_block.nbytes + sm_padded.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, enc_block, sm_padded, s1, s2, s3, s4, s5, m0, m1, m2,
+      bias8)
+
+
 def pack_sparse_skip_weights(w: np.ndarray, c1: int, c2_pad: int = 0):
     """DHWIO (3,3,3,c1+c2,Co) -> three per-w-offset-group GEMM weights
     where rows are [encoder block views (64*c1 split 16/32/16), small
@@ -1218,7 +1517,7 @@ def prepack_sparse_skip(
     # no zero rows — the kernel slices the VMEM tile back to c2 lanes
     c2_pad = (-c2) % 128
     w0, w1, w2 = pack_sparse_skip_weights(w, c1, c2_pad=0)
-    return {
+    packed = {
         "w0": jnp.asarray(w0).astype(compute_dtype),
         "w1": jnp.asarray(w1).astype(compute_dtype),
         "w2": jnp.asarray(w2).astype(compute_dtype),
@@ -1229,6 +1528,20 @@ def prepack_sparse_skip(
         "c2_pad": c2_pad,
         "co": co,
     }
+    # wide-assembly variant: encoder side regrouped by lane runs, small
+    # side split out per w-offset group (rows = tails of w0/w1/w2)
+    for name, g in zip(
+        ("s1", "s2", "s3", "s4", "s5"),
+        pack_sparse_block_weights_wide(w[:, :, :, :c1]),
+    ):
+        packed[name] = jnp.asarray(g).astype(compute_dtype)
+    for gw, (name, enc_rows) in enumerate(
+        zip(("m0", "m1", "m2"),
+            (16 * c1, 32 * c1, 16 * c1))
+    ):
+        src = (w0, w1, w2)[gw]
+        packed[name] = jnp.asarray(src[enc_rows:]).astype(compute_dtype)
+    return packed
 
 
 def _pick_tile_skip(d, h, Wp, c1, c2, co, c2p=None, itemsize=2,
@@ -1362,6 +1675,18 @@ def conv_block_sparse_skip(
     import os
 
     if mode == "edge" and os.environ.get("ANATOMIX_HALO", "1") != "0":
+        if (
+            "s1" in packed
+            and enc_block.shape[3] >= 32
+            and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+        ):
+            return conv_block_skip_halo_wide(
+                enc_block, smp, packed["s1"], packed["s2"], packed["s3"],
+                packed["s4"], packed["s5"], packed["m0"], packed["m1"],
+                packed["m2"], packed["b8"], act=packed["act"],
+                out_dtype=enc_block.dtype, interpret=interpret,
+                out_w=enc_block.shape[3],
+            )
         # encoder halo assembled in-kernel (the enc tensor is the big one)
         return conv_block_skip_halo(
             enc_block, smp, packed["w0"], packed["w1"], packed["w2"],

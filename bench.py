@@ -453,9 +453,34 @@ def main():
                     interpret=_SMOKE,
                 )[..., :1]
 
-            return amortized_time(fwd, x128, n=8, reps=3)
+            t_spatial = amortized_time(fwd, x128, n=8, reps=3)
 
-        t_patch = _section("fused_fwd", _fused_fwd)
+            # production emit: the fold (flat-lane) exit writes rows
+            # whose row-major bytes ARE the spatial feature tensor
+            # (reshuffle.depth_to_space_fold, HW-proven as the sliding
+            # path's default) — no XLA exit relayout. Scalar-carry chain
+            # + full-output sum: no probe shrinking.
+            v0 = jnp.zeros((1,), jnp.float32)
+
+            def fwd_fold(v, x):
+                out = unet_apply_fused(
+                    fplan, pf, x + (v[0] * 1e-6).astype(x.dtype),
+                    compute_dtype=compute_dtype, interpret=_SMOKE,
+                    emit="fold",
+                )
+                return jnp.sum(out.astype(jnp.float32))[None] * 1e-6
+
+            t_fold = amortized_time(fwd_fold, v0, n=8, reps=3,
+                                    args=(x128,))
+            return t_fold, t_spatial
+
+        t_pair = _section("fused_fwd", _fused_fwd, (None, None))
+        t_patch, t_spatial = (
+            t_pair if isinstance(t_pair, tuple) else (t_pair, None)
+        )
+        extra["unet_fwd_spatial_seconds_128"] = (
+            None if t_spatial is None else round(t_spatial, 5)
+        )
         extra["patches_128_per_sec_per_chip"] = (
             None if t_patch is None else round(1.0 / t_patch, 2)
         )

@@ -100,13 +100,11 @@ x = jax.jit(
 )(jax.random.PRNGKey(2))
 
 COMBOS = [
-    ("narrow+plain", {"ANATOMIX_WIDE": "0", "ANATOMIX_D2S_EXIT": "plain"}),
-    ("narrow+il", {"ANATOMIX_WIDE": "0",
-                   "ANATOMIX_D2S_EXIT": "interleave"}),
-    ("wide+plain", {"ANATOMIX_WIDE": "1", "ANATOMIX_D2S_EXIT": "plain"}),
-    ("wide+il", {"ANATOMIX_WIDE": "1", "ANATOMIX_D2S_EXIT": "interleave"}),
+    ("narrow", {"ANATOMIX_WIDE": "0"}),
+    ("wide", {"ANATOMIX_WIDE": "1"}),
 ]
 
+v0 = jnp.zeros((1,), jnp.float32)
 for name, env in COMBOS:
     os.environ.update(env)
 
@@ -115,5 +113,15 @@ for name, env in COMBOS:
             fplan, _c(a), v, compute_dtype=jnp.bfloat16
         )[..., :1]
 
-    t = amortized_time(fwd, x, n=8, reps=3, args=tuple(arrs))
-    print(f"6M fwd 128 [{name}]: {t * 1e3:.2f} ms", flush=True)
+    def fwd_fold(v, xx, *a, _c=combine):
+        out = unet_apply_fused(
+            fplan, _c(a), xx + (v[0] * 1e-6).astype(xx.dtype),
+            compute_dtype=jnp.bfloat16, emit="fold",
+        )
+        return jnp.sum(out.astype(jnp.float32))[None] * 1e-6
+
+    t_sp = amortized_time(fwd, x, n=8, reps=3, args=tuple(arrs))
+    t_fo = amortized_time(fwd_fold, v0, n=8, reps=3,
+                          args=(x,) + tuple(arrs))
+    print(f"6M fwd 128 [{name}]: spatial {t_sp * 1e3:.2f} ms  "
+          f"fold {t_fo * 1e3:.2f} ms", flush=True)
