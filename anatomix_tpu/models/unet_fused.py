@@ -690,7 +690,26 @@ def unet_apply_fused(
                         # trilinear x2 emitted straight into block
                         # layout: 8 separable stencils of the small
                         # tensor — no 8x spatial tensor, no s2d relayout
-                        feat = upsample2x_trilinear_block(feat)
+                        import os as _os_tri
+
+                        if _os_tri.environ.get(
+                            "ANATOMIX_TRILIN_KERNEL", "0"
+                        ) == "1" and (
+                            jax.default_backend() != "cpu" or interpret
+                        ):
+                            # one-pass Pallas form (clamped-DMA halo ==
+                            # torch boundary clamp); the XLA flat form's
+                            # 8 stencil fusions + concat were ~6.1 ms of
+                            # the dev fwd (wave-37 trace)
+                            from anatomix_tpu.ops.pallas.upsample import (
+                                upsample2x_trilinear_block_pallas,
+                            )
+
+                            feat = upsample2x_trilinear_block_pallas(
+                                feat, interpret=interpret
+                            )
+                        else:
+                            feat = upsample2x_trilinear_block(feat)
                     in_block = True
                 else:
                     feat = upsample2x(feat, cfg.interp)
