@@ -763,7 +763,7 @@ def conv_block_sparse(
             # wave-36 standalone A/B: wide wins at block extents >= 32
             # (-16/-20%), loses at 16 (+15%) — gate by extent
             and x_block.shape[3] >= 32
-            and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+            and os.environ.get("ANATOMIX_WIDE", "1") != "0"
         ):
             return conv_block_sparse_halo_wide(
                 x_block, packed["g1"], packed["g2"], packed["g3"],
@@ -1089,7 +1089,7 @@ def conv_block_sparse_cat(
         "h1" in packed
         and packed.get("cat_c1") == c1
         and enc_block.shape[3] >= 32
-        and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+        and os.environ.get("ANATOMIX_WIDE", "1") != "0"
     ):
         return conv_block_sparse_cat_halo_wide(
             enc_block, feat_block, packed["h1"], packed["h2"],
@@ -1678,7 +1678,7 @@ def conv_block_sparse_skip(
         if (
             "s1" in packed
             and enc_block.shape[3] >= 32
-            and os.environ.get("ANATOMIX_WIDE", "0") == "1"
+            and os.environ.get("ANATOMIX_WIDE", "1") != "0"
         ):
             return conv_block_skip_halo_wide(
                 enc_block, smp, packed["s1"], packed["s2"], packed["s3"],
