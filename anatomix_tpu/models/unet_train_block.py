@@ -81,12 +81,18 @@ def _conv_eligible_block(cin: int, cout: int, w_blk: int) -> bool:
 def _max_pool_block(xb: jax.Array) -> jax.Array:
     """(B, d, h, w, 8C) block -> (B, d, h, w, C) spatial at half res:
     2^3 pooling windows ARE the s2d blocks, so the pool is a lane-group
-    max that exits block layout for free. The custom VJP routes each
-    window's gradient to the FIRST maximal element in (pd, ph, pw) scan
-    order — torch MaxPool3d's tie rule (plain `jnp.max` autodiff splits
-    ties; post-ReLU feature maps tie at 0.0 constantly)."""
-    B, d, h, w, c8 = xb.shape
-    return jnp.max(xb.reshape(B, d, h, w, 8, c8 // 8), axis=-2)
+    max that exits block layout for free. Implemented as elementwise
+    maxima of the 8 LANE SLICES — the (…, 8, C) split view relayouts on
+    TPU (14 ms reshape + 14 ms reduce-window in the wave-37 step trace).
+    The custom VJP routes each window's gradient to the FIRST maximal
+    element in (pd, ph, pw) scan order — torch MaxPool3d's tie rule
+    (plain `jnp.max` autodiff splits ties; post-ReLU feature maps tie at
+    0.0 constantly)."""
+    c = xb.shape[-1] // 8
+    y = xb[..., :c]
+    for g in range(1, 8):
+        y = jnp.maximum(y, xb[..., g * c: (g + 1) * c])
+    return y
 
 
 def _max_pool_block_fwd(xb):
@@ -96,12 +102,17 @@ def _max_pool_block_fwd(xb):
 
 def _max_pool_block_bwd(res, dy):
     xb, y = res
-    B, d, h, w, c8 = xb.shape
-    g = xb.reshape(B, d, h, w, 8, c8 // 8)
-    eq = (g == y[:, :, :, :, None, :]).astype(jnp.float32)
-    first = (jnp.cumsum(eq, axis=-2) <= 1.0) & (eq > 0)
-    dx = jnp.where(first, dy[:, :, :, :, None, :].astype(jnp.float32), 0.0)
-    return (dx.reshape(xb.shape).astype(xb.dtype),)
+    c = xb.shape[-1] // 8
+    dy32 = dy.astype(jnp.float32)
+    taken = None
+    parts = []
+    for g in range(8):
+        eq = xb[..., g * c: (g + 1) * c] == y
+        first = eq if taken is None else (eq & ~taken)
+        taken = eq if taken is None else (taken | eq)
+        parts.append(jnp.where(first, dy32, 0.0))
+    dx = jnp.concatenate(parts, axis=-1)
+    return (dx.astype(xb.dtype),)
 
 
 _max_pool_block.defvjp(_max_pool_block_fwd, _max_pool_block_bwd)
@@ -202,15 +213,21 @@ def unet_apply_train_block(
         if cfg.use_skip_connection:
             if idx in plan.decoder_idx:
                 enc = enc_feats.pop()
-                B, d, h, w, c1 = enc.shape
-                c2 = feat.shape[-1]
+                c1 = enc.shape[-1] // 8
+                c2 = feat.shape[-1] // 8
+                # channel interleave via LANE SLICES (the 6-D split view
+                # form relayouts on TPU)
                 feat = jnp.concatenate(
                     [
-                        enc.reshape(B, d, h, w, 8, c1 // 8),
-                        feat.reshape(B, d, h, w, 8, c2 // 8),
+                        t
+                        for g in range(8)
+                        for t in (
+                            enc[..., g * c1: (g + 1) * c1],
+                            feat[..., g * c2: (g + 1) * c2],
+                        )
                     ],
                     axis=-1,
-                ).reshape(B, d, h, w, c1 + c2)
+                )
             if idx in plan.encoder_idx:
                 enc_feats.append(feat)
 

@@ -467,6 +467,123 @@ def conv_block_sparse_halo_wide(
     )(dmap, hmap, x_block, g1, g2, g3, g4, g5, bias8)
 
 
+def wide_weights_from_groups_jnp(w0, w1, w2, ci: int):
+    """Regroup the (possibly traced) narrow packs (w0, w1, w2) into the
+    wide-assembly groups g1..g5 — a pure row permutation (small device
+    copies; used by the differentiable train kernels where weights are
+    traced arrays, `conv_block_train.pack_sparse_weights_jnp`)."""
+    def row_block(vd, vh, vw):
+        if vw == -1:
+            return w0[((vd + 1) * 4 + (vh + 1)) * ci:][:ci]
+        if vw == 2:
+            return w2[((vd + 1) * 4 + (vh + 1)) * ci:][:ci]
+        return w1[(((vd + 1) * 4 + (vh + 1)) * 2 + vw) * ci:][:ci]
+
+    return tuple(
+        jnp.concatenate(
+            [row_block(vd, vh, vw) for vd, vh, vw in entries], axis=0
+        )
+        for entries in _WIDE_GROUPS
+    )
+
+
+def _kernel_valid_wide(x_hbm, g1_ref, g2_ref, g3_ref, g4_ref, g5_ref,
+                       b_ref, out_ref, x_vmem, sem, *, td, th, W, ci,
+                       act, interpret):
+    """Wide-assembly variant of `_kernel` (pre-padded input tile)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * td, td + 2), pl.ds(j * th, th + 2)],
+        x_vmem,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+
+    dn = (((3,), (0,)), ((), ()))
+    prec = _dot_precision(x_vmem.dtype)
+    acc = None
+    # valid tile: w offsets are _OFF[vw] in {0, 1, 2} -> base = 0
+    for slices, w_ref in zip(
+        _wide_slices(x_vmem, ci, td, th, W, 0),
+        (g1_ref, g2_ref, g3_ref, g4_ref, g5_ref),
+    ):
+        lhs = slices[0] if len(slices) == 1 else jnp.concatenate(
+            slices, axis=-1
+        )
+        z = jax.lax.dot_general(
+            lhs, w_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = z if acc is None else acc + z
+    acc = acc + b_ref[0].astype(jnp.float32)
+    acc = _apply_act(acc, act)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("act", "out_dtype", "interpret", "out_w"),
+)
+def conv_block_sparse_valid_wide(
+    x_block_padded: jax.Array,  # (B, d+2, h+2, w+2(+align), 8*Ci)
+    g1: jax.Array, g2: jax.Array, g3: jax.Array, g4: jax.Array,
+    g5: jax.Array,
+    bias8: jax.Array,
+    *,
+    act: str = "none",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    out_w: int | None = None,
+) -> jax.Array:
+    """`conv_block_sparse_valid` with the wide-assembly grouping (no
+    emit_full form)."""
+    B, dp, hp, wp0, c8 = x_block_padded.shape
+    ci = c8 // 8
+    co8 = g1.shape[-1]
+    d, h = dp - 2, hp - 2
+    w = (wp0 - 2) if out_w is None else out_w
+
+    if wp0 % 8:
+        x_block_padded = jnp.pad(
+            x_block_padded, ((0, 0),) * 3 + ((0, (-wp0) % 8), (0, 0))
+        )
+    Wp = x_block_padded.shape[3]
+
+    td, th = _pick_tile(
+        d, h, Wp, ci, co8 // 8, itemsize=x_block_padded.dtype.itemsize
+    )
+    kernel = functools.partial(_kernel_valid_wide, td=td, th=th, W=w,
+                               ci=ci, act=act, interpret=interpret)
+    flops = 2 * B * d * h * w * 64 * ci * co8
+    return pl.pallas_call(
+        kernel,
+        grid=(B, d // td, h // th),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, td, th, w, co8), lambda b, i, j: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, d, h, w, co8), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, c8), x_block_padded.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=x_block_padded.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(x_block_padded, g1, g2, g3, g4, g5, bias8)
+
+
 def _sparse_full_tensor(w: np.ndarray) -> np.ndarray:
     """DHWIO (3,3,3,Ci,Co) -> (Vd, Vh, Vw, Ci, 8*Co) tap-view tensor:
     entry [v+1, ...] holds the weight rows of the per-axis shifted view

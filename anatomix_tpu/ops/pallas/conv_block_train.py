@@ -426,12 +426,27 @@ def _fwd(x_block, w, b, act, pad_type, compute_dtype, interpret):
     ):
         from anatomix_tpu.ops.pallas.conv_block import (
             conv_block_sparse_halo,
+            conv_block_sparse_halo_wide,
+            wide_weights_from_groups_jnp,
         )
 
-        y = conv_block_sparse_halo(
-            x_block, w0, w1, w2, b8, act=act, out_dtype=x_block.dtype,
-            interpret=interpret,
-        )
+        ci = w.shape[3]
+        if (
+            x_block.shape[3] >= 32
+            and os.environ.get("ANATOMIX_WIDE", "1") != "0"
+        ):
+            g1, g2, g3, g4, g5 = wide_weights_from_groups_jnp(
+                w0, w1, w2, ci
+            )
+            y = conv_block_sparse_halo_wide(
+                x_block, g1, g2, g3, g4, g5, b8, act=act,
+                out_dtype=x_block.dtype, interpret=interpret,
+            )
+        else:
+            y = conv_block_sparse_halo(
+                x_block, w0, w1, w2, b8, act=act,
+                out_dtype=x_block.dtype, interpret=interpret,
+            )
     else:
         xp = _halo_pad(x_block, pad_type)
         y = conv_block_sparse_valid(
@@ -479,10 +494,27 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
         ((0, 0), (2, 2 + ext_d - (d + 2)), (2, 2 + ext_h - (h + 2)),
          (2, (ext_w + 2 - (wd + 2)) + ((-(ext_w + 2)) % 8)), (0, 0)),
     )
-    dx_ext = conv_block_sparse_valid(
-        dpre_p, f0, f1, f2, zb8, act="none", out_dtype=x_block.dtype,
-        interpret=interpret, out_w=ext_w,
-    )[:, : d + 2, : h + 2, : wd + 2]
+    import os as _os_dx
+
+    if (
+        ext_w >= 32
+        and _os_dx.environ.get("ANATOMIX_WIDE", "1") != "0"
+    ):
+        from anatomix_tpu.ops.pallas.conv_block import (
+            conv_block_sparse_valid_wide,
+            wide_weights_from_groups_jnp,
+        )
+
+        fg = wide_weights_from_groups_jnp(f0, f1, f2, co)
+        dx_ext = conv_block_sparse_valid_wide(
+            dpre_p, *fg, zb8, act="none", out_dtype=x_block.dtype,
+            interpret=interpret, out_w=ext_w,
+        )[:, : d + 2, : h + 2, : wd + 2]
+    else:
+        dx_ext = conv_block_sparse_valid(
+            dpre_p, f0, f1, f2, zb8, act="none", out_dtype=x_block.dtype,
+            interpret=interpret, out_w=ext_w,
+        )[:, : d + 2, : h + 2, : wd + 2]
     # (B, d+2, h+2, w+2, 8Ci): gradient wrt the halo-padded forward input
     _, pad_vjp = jax.vjp(lambda v: _halo_pad(v, pad_type), x_block)
     # _halo_pad also adds the w alignment tail; extend dx_ext to match
