@@ -34,3 +34,14 @@ ANATOMIX_TPU_TESTS=1 timeout 3000 python -m pytest tests/ -m tpu -q \
   > tools/logs/w38_tputests.log 2>&1
 echo "[wave38] E rc=$?"
 echo "[wave38] done"
+
+echo "[wave38] F: train step trace (lane-slice pool/concat + wide dx)"
+timeout 1800 python tools/_trace_attrib.py train \
+  > tools/logs/w38_trtrain.log 2>&1
+echo "[wave38] F rc=$?"
+
+echo "[wave38] G: train step A/B re-run"
+timeout 2400 python tools/_exp_trainblock.py \
+  > tools/logs/w38_trainblock.log 2>&1
+echo "[wave38] G rc=$?"
+echo "[wave38] all done"
