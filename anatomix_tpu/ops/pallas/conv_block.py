@@ -902,6 +902,18 @@ def conv_block_sparse(
         x_block, ((0, 0), (1, 1), (1, 1), (1, 1 + align), (0, 0)),
         mode=mode,
     )
+    if (
+        "g1" in packed
+        and not emit_full
+        and x_block.shape[3] >= 32
+        and os.environ.get("ANATOMIX_WIDE", "1") != "0"
+    ):
+        return conv_block_sparse_valid_wide(
+            xp, packed["g1"], packed["g2"], packed["g3"], packed["g4"],
+            packed["g5"], packed["b8"], act=packed["act"],
+            out_dtype=out_dtype or x_block.dtype, interpret=interpret,
+            out_w=x_block.shape[3],
+        )
     return conv_block_sparse_valid(
         xp, packed["w0"], packed["w1"], packed["w2"], packed["b8"],
         act=packed["act"], out_dtype=out_dtype or x_block.dtype,
