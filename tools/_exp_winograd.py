@@ -70,10 +70,11 @@ def wg_conv(x, u, dtype):
                     )
                 )
     v = jnp.stack(vs, axis=-2)  # (B, d, h, w, 64, Ci)
-    v = v.reshape(B, d, d, d, 4, 4, 4, Ci).astype(jnp.float32)
+    tdt = jnp.float32 if x.dtype == jnp.float32 else dtype
+    v = v.reshape(B, d, d, d, 4, 4, 4, Ci).astype(tdt)
 
     # input transform per axis
-    bt = jnp.asarray(BT)
+    bt = jnp.asarray(BT, tdt)
     v = jnp.einsum("ia,nxyzajkc->nxyzijkc", bt, v)
     v = jnp.einsum("jb,nxyzibkc->nxyzijkc", bt, v)
     v = jnp.einsum("kd,nxyzijdc->nxyzijkc", bt, v).astype(dtype)
@@ -105,8 +106,10 @@ def main():
         shapes = [(16, 8, 8)]
         dtype = jnp.float32
     else:
-        # dev encoder levels 1/2 at 128-cube (the FLOP-dominant ones)
-        shapes = [(128, 32, 32), (64, 64, 64)]
+        # dev encoder levels 1/2 shapes at QUARTER volume (the XLA
+        # prototype materializes the 8x transform tensor; 128-cube blew
+        # HBM in wave 38) — per-GF rates scale to the full level
+        shapes = [(64, 32, 32), (32, 64, 64)]
         dtype = jnp.bfloat16
 
     for S, Ci, Co in shapes:
