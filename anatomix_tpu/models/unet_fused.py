@@ -693,8 +693,8 @@ def unet_apply_fused(
                         import os as _os_tri
 
                         if _os_tri.environ.get(
-                            "ANATOMIX_TRILIN_KERNEL", "0"
-                        ) == "1" and (
+                            "ANATOMIX_TRILIN_KERNEL", "1"
+                        ) != "0" and (
                             jax.default_backend() != "cpu" or interpret
                         ):
                             # one-pass Pallas form (clamped-DMA halo ==

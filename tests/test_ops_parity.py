@@ -474,3 +474,24 @@ def test_batch_norm_train_custom_vjp_bf16_close_to_f32():
     )
     denom = np.abs(g32).max() + 1e-8
     assert np.abs(gbf - g32).max() / denom < 5e-2
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_upsample2x_trilinear_block_pallas(rng, dtype, monkeypatch):
+    """Pallas one-pass form == the XLA flat-stencil block emit
+    (interpret mode; HW coverage in test_tpu_numerics)."""
+    from anatomix_tpu.ops.pallas.upsample import (
+        upsample2x_trilinear_block_pallas,
+    )
+    from anatomix_tpu.ops.resize import upsample2x_trilinear_block
+
+    monkeypatch.setenv("ANATOMIX_TRILIN_FLAT", "1")
+    x = jnp.asarray(
+        rng.standard_normal((1, 8, 8, 8, 32)).astype(np.float32), dtype
+    )
+    ref = np.asarray(upsample2x_trilinear_block(x), np.float32)
+    got = np.asarray(
+        upsample2x_trilinear_block_pallas(x, interpret=True), np.float32
+    )
+    tol = 2e-6 if dtype == jnp.float32 else 2e-2
+    np.testing.assert_allclose(got, ref, atol=tol, rtol=tol)

@@ -514,3 +514,25 @@ def test_dev_fused_cat_flat_defaults_hw():
     assert e_on < 1.5 * e_off + 1e-3, (
         f"cat+flat {e_on:.4f} vs gates-off {e_off:.4f}"
     )
+
+
+def test_trilinear_block_pallas_matches_xla_hw():
+    """The one-pass Pallas trilinear block emit (default-ON dev decoder
+    upsample, round 5) == the XLA flat-stencil form on real hardware at
+    a production extent (clamped-DMA halo == torch boundary clamp)."""
+    from anatomix_tpu.ops.pallas.upsample import (
+        upsample2x_trilinear_block_pallas,
+    )
+    from anatomix_tpu.ops.resize import upsample2x_trilinear_block
+
+    os.environ["ANATOMIX_TRILIN_FLAT"] = "1"
+    try:
+        x = jax.jit(
+            lambda k: jax.random.normal(k, (1, 32, 32, 32, 64),
+                                        jnp.float32)
+        )(jax.random.PRNGKey(21))
+        ref = np.asarray(jax.jit(upsample2x_trilinear_block)(x))
+        got = np.asarray(upsample2x_trilinear_block_pallas(x))
+        np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
+    finally:
+        os.environ.pop("ANATOMIX_TRILIN_FLAT", None)
