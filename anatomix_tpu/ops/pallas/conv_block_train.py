@@ -216,6 +216,148 @@ def _kernel_wgrad_halo(dmap_ref, hmap_ref, x_hbm, dy_ref, w0_ref, w1_ref,
             w_ref[n * rows: (n + 1) * rows] += part
 
 
+def _kernel_wgrad_halo_wide(dmap_ref, hmap_ref, x_hbm, dy_ref, g1_ref,
+                            g2_ref, g3_ref, g4_ref, g5_ref, x_vmem, sems,
+                            *, td, th, W, ci, interpret):
+    """`_kernel_wgrad_halo` with the wide-assembly LHS grouping (the
+    view chunks were 64 thin ci-lane slices; see
+    `conv_block._wide_slices`). Output rows are in wide-group order —
+    `wgrad_narrow_from_wide_jnp` permutes back."""
+    from anatomix_tpu.ops.pallas.conv_block import _wide_slices
+
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    for dma in _halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref,
+                            i, j, td=td, th=th, w=W, off=off):
+        dma.wait()
+    x_vmem[:, :, off - 1] = x_vmem[:, :, off]
+    x_vmem[:, :, off + W] = x_vmem[:, :, off + W - 1]
+
+    first = (b == 0) & (i == 0) & (j == 0)
+
+    @pl.when(first)
+    def _():
+        for ref in (g1_ref, g2_ref, g3_ref, g4_ref, g5_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    dy = dy_ref[0]
+    base = off - 1
+    M = td * th * W
+    dy2 = dy.reshape(M, dy.shape[-1])
+    dn = (((0,), (0,)), ((), ()))
+    for slices, g_ref in zip(
+        _wide_slices(x_vmem, ci, td, th, W, base),
+        (g1_ref, g2_ref, g3_ref, g4_ref, g5_ref),
+    ):
+        lhs = slices[0] if len(slices) == 1 else jnp.concatenate(
+            slices, axis=-1
+        )
+        part = jax.lax.dot_general(
+            lhs.reshape(M, -1), dy2, dn,
+            preferred_element_type=jnp.float32,
+            precision=_dot_precision(dy2.dtype),
+        )
+        g_ref[...] += part
+
+
+def wgrad_narrow_from_wide_jnp(groups, ci: int):
+    """Inverse of the wide row regroup: wide-order dW groups (g1..g5)
+    -> the narrow (dW0, dW1, dW2) row order `pack_vjp` expects."""
+    from anatomix_tpu.ops.pallas.conv_block import _WIDE_GROUPS
+
+    loc = {}
+    for gi, entries in enumerate(_WIDE_GROUPS):
+        for pos, e in enumerate(entries):
+            loc[e] = (gi, pos)
+
+    def rows(vd, vh, vw):
+        gi, pos = loc[(vd, vh, vw)]
+        return groups[gi][pos * ci: (pos + 1) * ci]
+
+    order = [(vd, vh) for vd in (-1, 0, 1, 2) for vh in (-1, 0, 1, 2)]
+    dW0 = jnp.concatenate([rows(vd, vh, -1) for vd, vh in order], axis=0)
+    dW1 = jnp.concatenate(
+        [rows(vd, vh, vw) for vd, vh in order for vw in (0, 1)], axis=0
+    )
+    dW2 = jnp.concatenate([rows(vd, vh, 2) for vd, vh in order], axis=0)
+    return dW0, dW1, dW2
+
+
+@functools.partial(jax.jit, static_argnames=("ci", "interpret"))
+def _wgrad_halo_wide(x_block, dy_block, *, ci, interpret=False):
+    """Wide-assembly wgrad; returns the five wide-order dW groups."""
+    B, d, h, w, _ = x_block.shape
+    co8 = dy_block.shape[-1]
+    off = 8
+    Wp = off + w + 1
+
+    acc_bytes = 64 * ci * co8 * 4
+
+    def fits(td, th):
+        return (
+            5 * td * th * Wp * (8 * ci * 2 * 3 + co8 * 2) + acc_bytes
+            <= 40 * 2 ** 20
+        )
+
+    td, th = 1, 1
+    for cand_td in (8, 4, 2, 1):
+        if d % cand_td:
+            continue
+        for cand_th in (8, 4, 2, 1):
+            if h % cand_th:
+                continue
+            if fits(cand_td, cand_th) and cand_td * cand_th > td * th:
+                td, th = cand_td, cand_th
+
+    dmap, hmap = _clamp_maps(d, h, td, th)
+    kernel = functools.partial(
+        _kernel_wgrad_halo_wide, td=td, th=th, W=w, ci=ci,
+        interpret=interpret,
+    )
+    row_counts = (8 * ci, 8 * ci, 16 * ci, 16 * ci, 16 * ci)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, d // td, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, td, th, w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (rc, co8), lambda b, i, j, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for rc in row_counts
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, 8 * ci), x_block.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rc, co8), jnp.float32)
+            for rc in row_counts
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * d * h * w * 64 * ci * co8,
+            bytes_accessed=x_block.nbytes + dy_block.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 2 ** 20
+        ),
+        interpret=interpret,
+    )(dmap, hmap, x_block, dy_block)
+
+
 @functools.partial(jax.jit, static_argnames=("ci", "interpret"))
 def _wgrad_halo(x_block, dy_block, *, ci, interpret=False):
     """dW_packed groups with the x halo assembled in-kernel; x_block is
@@ -531,9 +673,18 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
         pad_type == "reflect"
         and os.environ.get("ANATOMIX_HALO", "1") != "0"
     ):
-        dW0, dW1, dW2 = _wgrad_halo(
-            x_block, dpre, ci=ci, interpret=interpret
-        )
+        if (
+            wd >= 32
+            and os.environ.get("ANATOMIX_WIDE", "1") != "0"
+        ):
+            groups = _wgrad_halo_wide(
+                x_block, dpre, ci=ci, interpret=interpret
+            )
+            dW0, dW1, dW2 = wgrad_narrow_from_wide_jnp(groups, ci)
+        else:
+            dW0, dW1, dW2 = _wgrad_halo(
+                x_block, dpre, ci=ci, interpret=interpret
+            )
     else:
         xp = _halo_pad(x_block, pad_type)
         dW0, dW1, dW2 = _wgrad(
