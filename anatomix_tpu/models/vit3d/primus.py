@@ -539,6 +539,10 @@ def prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16):
     )
     tok = {**tok, "stem": stem}
 
+    from anatomix_tpu.ops.pallas.conv_block import (
+        wide_weights_from_groups_jnp,
+    )
+
     @jax.jit
     def _pack(w):
         return pack_sparse_weights_jnp(jnp.asarray(w).astype(compute_dtype))
@@ -558,6 +562,14 @@ def prepack_primus_tokenizer(cfg, params, compute_dtype=jnp.bfloat16):
                 b = p.get("b")
                 b = np.zeros((co,), np.float32) if b is None else b
                 p["w0"], p["w1"], p["w2"] = w0, w1, w2
+                # wide-assembly regroup for the valid kernel (round 5)
+                for name, g in zip(
+                    ("g1", "g2", "g3", "g4", "g5"),
+                    wide_weights_from_groups_jnp(
+                        w0, w1, w2, p["w"].shape[3]
+                    ),
+                ):
+                    p[name] = g
                 p["b8"] = jnp.tile(
                     jnp.asarray(b).astype(jnp.float32), 8
                 )[None]
@@ -606,11 +618,15 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
     def pack(p):
         if "w0" in p and p["w0"].dtype == cd:
             # prepacked once by `prepack_primus_tokenizer`
-            return {
+            out = {
                 "w0": p["w0"], "w1": p["w1"], "w2": p["w2"],
                 "b8": p["b8"], "act": "none",
                 "ci": p["w"].shape[3], "co": p["w"].shape[4],
             }
+            for name in ("g1", "g2", "g3", "g4", "g5"):
+                if name in p:
+                    out[name] = p[name]
+            return out
         w = p["w"].astype(cd)
         co = w.shape[-1]
         w0, w1, w2 = pack_sparse_weights_jnp(w)
