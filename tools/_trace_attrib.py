@@ -135,9 +135,16 @@ def build(which):
                 k, (1, 128, 128, 128, 1), jnp.float32
             )
         )(jax.random.PRNGKey(1))
+        import os as _os_f6
+
+        emit = (
+            "fold" if _os_f6.environ.get("ANATOMIX_TRACE_EMIT", "fold")
+            == "fold" else "spatial"
+        )
         f = jax.jit(
             lambda v, a: unet_apply_fused(
-                fplan, combine(a), v, compute_dtype=jnp.bfloat16
+                fplan, combine(a), v, compute_dtype=jnp.bfloat16,
+                emit=emit,
             )
         )
         return f, (x, arrs), 2
