@@ -229,8 +229,36 @@ def make_block_weights(w) -> np.ndarray:
     return Wb.reshape(3, 3, 3, 8 * ci, 8 * co)
 
 
+def _s2d_onehot_kernel(C: int, dtype):
+    """(2,2,2,C,8C) one-hot kernel whose stride-2 conv IS space_to_depth
+    ((ad, ah, aw)-major channel order)."""
+    k = np.zeros((2, 2, 2, C, 8 * C), np.float32)
+    for ad in range(2):
+        for ah in range(2):
+            for aw in range(2):
+                p = (ad * 2 + ah) * 2 + aw
+                for c in range(C):
+                    k[ad, ah, aw, c, p * C + c] = 1.0
+    return jnp.asarray(k, dtype)
+
+
 def _space_to_depth(x):
+    import os as _os_s2d
+
     B, D, H, W, C = x.shape
+    if (
+        C == 1
+        and _os_s2d.environ.get("ANATOMIX_S2D_CONV", "0") == "1"
+        and jax.default_backend() not in ("cpu",)
+    ):
+        # one-hot stride-2 conv: the MXU does the repack (the
+        # reshape/transpose form is a ~1.1 ms relayout at 128-cube,
+        # wave-40 trace; exactness: 0/1 weights are exact in bf16)
+        return jax.lax.conv_general_dilated(
+            x, _s2d_onehot_kernel(C, x.dtype), window_strides=(2, 2, 2),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     y = x.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2, C)
     y = y.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return y.reshape(B, D // 2, H // 2, W // 2, 8 * C)
@@ -253,7 +281,18 @@ def space_to_depth_4d(x4):
     occupies ~8.6 GB of HBM); the 4-D view tiles (H, W) instead — zero
     padding — so per-window dynamic slices in the sliding path read 8 MB
     instead of ~1 GB (XLA only, no Pallas needed: the source is packed)."""
+    import os as _os_s2d4
+
     B, D, H, W = x4.shape
+    if (
+        _os_s2d4.environ.get("ANATOMIX_S2D_CONV", "0") == "1"
+        and jax.default_backend() not in ("cpu",)
+    ):
+        return jax.lax.conv_general_dilated(
+            x4[..., None], _s2d_onehot_kernel(1, x4.dtype),
+            window_strides=(2, 2, 2), padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
     y = x4.reshape(B, D // 2, 2, H // 2, 2, W // 2, 2)
     y = y.transpose(0, 1, 3, 5, 2, 4, 6)
     return y.reshape(B, D // 2, H // 2, W // 2, 8)
