@@ -584,6 +584,173 @@ def conv_block_sparse_valid_wide(
     )(x_block_padded, g1, g2, g3, g4, g5, bias8)
 
 
+def _dx_maps(d: int, ext: int, td: int):
+    """Scalar-prefetch maps for the dx kernel: per output tile starting
+    at a = i*td, the (td+2)-row input window covers source rows
+    [a-2, a+td) with zeros outside [0, d). Columns: (core_start,
+    top1_src, top2_src, zlo, zhi) — clamped DMA sources plus the
+    in-range row bounds for the in-kernel zero mask."""
+    ai = np.arange(ext // td, dtype=np.int32) * td
+    core = np.clip(ai, 0, max(d - td, 0))
+    top1 = np.maximum(ai - 1, 0)          # tile row 1 <- src a-1
+    top2 = np.maximum(ai - 2, 0)          # tile row 0 <- src a-2
+    zlo = np.maximum(2 - ai, 0)           # rows < zlo map to src < 0
+    zhi = np.minimum(d + 2 - ai, td + 2)  # rows >= zhi map to src >= d
+    return jnp.asarray(
+        np.stack([core, top2, top1, zlo, np.maximum(zhi, 0)], axis=1)
+    )
+
+
+def _dx_halo_copies(x_hbm, x_vmem, sems, b, dmap_ref, hmap_ref, i, j, *,
+                    td, th, w, off):
+    """9 DMAs assembling the dx input window (td+2, th+2, w) at
+    (0, 0, off): core rows land at tile offset 2 (the window is
+    [a-2, a+td), so BOTH halo rows sit above the core)."""
+    d0, dt2, dt1 = dmap_ref[i, 0], dmap_ref[i, 1], dmap_ref[i, 2]
+    h0, ht2, ht1 = hmap_ref[j, 0], hmap_ref[j, 1], hmap_ref[j, 2]
+    dst_w = pl.ds(off, w)
+    pieces = (
+        ((pl.ds(d0, td), pl.ds(h0, th)), (pl.ds(2, td), pl.ds(2, th))),
+        ((pl.ds(dt1, 1), pl.ds(h0, th)), (pl.ds(1, 1), pl.ds(2, th))),
+        ((pl.ds(dt2, 1), pl.ds(h0, th)), (pl.ds(0, 1), pl.ds(2, th))),
+        ((pl.ds(d0, td), pl.ds(ht1, 1)), (pl.ds(2, td), pl.ds(1, 1))),
+        ((pl.ds(d0, td), pl.ds(ht2, 1)), (pl.ds(2, td), pl.ds(0, 1))),
+        ((pl.ds(dt1, 1), pl.ds(ht1, 1)), (pl.ds(1, 1), pl.ds(1, 1))),
+        ((pl.ds(dt1, 1), pl.ds(ht2, 1)), (pl.ds(1, 1), pl.ds(0, 1))),
+        ((pl.ds(dt2, 1), pl.ds(ht1, 1)), (pl.ds(0, 1), pl.ds(1, 1))),
+        ((pl.ds(dt2, 1), pl.ds(ht2, 1)), (pl.ds(0, 1), pl.ds(0, 1))),
+    )
+    dmas = []
+    for k, ((sd, sh), (dd, dh)) in enumerate(pieces):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[b, sd, sh, :, :],
+            x_vmem.at[dd, dh, dst_w, :],
+            sems.at[k],
+        )
+        dma.start()
+        dmas.append(dma)
+    return dmas
+
+
+def _kernel_dx_halo_wide(dmap_ref, hmap_ref, x_hbm, g1_ref, g2_ref,
+                         g3_ref, g4_ref, g5_ref, b_ref, out_ref, x_vmem,
+                         sems, *, td, th, W, w_src, ci, interpret):
+    """dx = 'valid' sparse conv over the 2-zero-padded gradient, with the
+    zero halo assembled IN-KERNEL (the HBM-side jnp.pad of the extended
+    gradient was ~6 ms of the wave-38 step trace). Output rows r compute
+    the extended-grid gradient dx_ext[r] (caller slices to d+2 and
+    applies the pad adjoint). Wide-assembly GEMM grouping."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    off = 8
+    for dma in _dx_halo_copies(x_hbm, x_vmem, sems, b, dmap_ref,
+                               hmap_ref, i, j, td=td, th=th, w=w_src,
+                               off=off):
+        dma.wait()
+    # zero-mask out-of-range rows/cols (the DMA clamps sources in-bounds;
+    # clamped rows carry neighbor values that MUST read as zeros)
+    zlo_d, zhi_d = dmap_ref[i, 3], dmap_ref[i, 4]
+    zlo_h, zhi_h = hmap_ref[j, 3], hmap_ref[j, 4]
+    shape = x_vmem.shape
+    io_d = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    io_h = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    io_w = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    mask = (
+        (io_d >= zlo_d) & (io_d < zhi_d)
+        & (io_h >= zlo_h) & (io_h < zhi_h)
+        & (io_w >= off) & (io_w < off + w_src)
+    )
+    x_vmem[...] = jnp.where(mask, x_vmem[...], 0).astype(x_vmem.dtype)
+
+    # window base: out col c reads src cols [c-2, c] -> tile cols
+    # (off-2) + c + _OFF[vw]
+    base = off - 2
+    dn = (((3,), (0,)), ((), ()))
+    prec = _dot_precision(x_vmem.dtype)
+    acc = None
+    for slices, w_ref in zip(
+        _wide_slices(x_vmem, ci, td, th, W, base),
+        (g1_ref, g2_ref, g3_ref, g4_ref, g5_ref),
+    ):
+        lhs = slices[0] if len(slices) == 1 else jnp.concatenate(
+            slices, axis=-1
+        )
+        z = jax.lax.dot_general(
+            lhs, w_ref[...], dn,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        acc = z if acc is None else acc + z
+    acc = acc + b_ref[0].astype(jnp.float32)
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "interpret", "ext")
+)
+def conv_block_sparse_dx(
+    dpre: jax.Array,  # (B, d, h, w, 8*Co) UN-padded gradient
+    g1: jax.Array, g2: jax.Array, g3: jax.Array, g4: jax.Array,
+    g5: jax.Array,
+    bias8: jax.Array,  # zeros (1, 8*Ci)
+    *,
+    ext: tuple[int, int, int],  # 8-aligned output extents >= (d+2, ...)
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """The dx conv of `conv_block_sparse_train._bwd` with the zero halo
+    assembled in-kernel: out[r] = valid-conv(zeropad2(dpre))[r] for
+    r < d+2 (rows beyond d+2 are don't-care fill for tile alignment).
+    Weights are the wide regroup of the flipped-transposed pack."""
+    B, d, h, w, cin8 = dpre.shape
+    cin = cin8 // 8          # = forward Co (the gradient's channels)
+    co8 = g1.shape[-1]       # = 8 * forward Ci (dx channels)
+    ext_d, ext_h, ext_w = ext
+    off = 8
+    Wp = off + ext_w + 2  # tile cols [off-2, off+ext_w)
+
+    td, th = _pick_tile(
+        ext_d, ext_h, Wp, cin, co8 // 8, itemsize=dpre.dtype.itemsize
+    )
+    dmap = _dx_maps(d, ext_d, td)
+    hmap = _dx_maps(h, ext_h, th)
+    kernel = functools.partial(
+        _kernel_dx_halo_wide, td=td, th=th, W=ext_w, w_src=w, ci=cin,
+        interpret=interpret,
+    )
+    flops = 2 * B * ext_d * ext_h * ext_w * 64 * cin * co8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, ext_d // td, ext_h // th),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(
+            (1, td, th, ext_w, co8), lambda b, i, j, *_: (b, i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((td + 2, th + 2, Wp, dpre.shape[-1]), dpre.dtype),
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, ext_d, ext_h, ext_w, co8), out_dtype
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=dpre.nbytes,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
+        ),
+        interpret=interpret,
+    )(dmap, hmap, dpre, g1, g2, g3, g4, g5, bias8)
+
+
 def _sparse_full_tensor(w: np.ndarray) -> np.ndarray:
     """DHWIO (3,3,3,Ci,Co) -> (Vd, Vh, Vw, Ci, 8*Co) tap-view tensor:
     entry [v+1, ...] holds the weight rows of the per-axis shifted view

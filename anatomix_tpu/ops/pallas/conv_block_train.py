@@ -641,6 +641,23 @@ def _bwd(act, pad_type, compute_dtype, interpret, res, dy):
     if (
         ext_w >= 32
         and _os_dx.environ.get("ANATOMIX_WIDE", "1") != "0"
+        and _os_dx.environ.get("ANATOMIX_DX_KERNEL", "0") == "1"
+    ):
+        # zero halo assembled in-kernel: no HBM-side extended-gradient
+        # pad (round 5; gated until the HW probe)
+        from anatomix_tpu.ops.pallas.conv_block import (
+            conv_block_sparse_dx,
+            wide_weights_from_groups_jnp,
+        )
+
+        fg = wide_weights_from_groups_jnp(f0, f1, f2, co)
+        dx_ext = conv_block_sparse_dx(
+            dpre, *fg, zb8, ext=(ext_d, ext_h, ext_w),
+            out_dtype=x_block.dtype, interpret=interpret,
+        )[:, : d + 2, : h + 2, : wd + 2]
+    elif (
+        ext_w >= 32
+        and _os_dx.environ.get("ANATOMIX_WIDE", "1") != "0"
     ):
         from anatomix_tpu.ops.pallas.conv_block import (
             conv_block_sparse_valid_wide,

@@ -393,3 +393,48 @@ def test_conv_block_sparse_wide_matches_narrow(rng, ci, co, monkeypatch):
         conv_block_sparse(x, packed, pad_type="reflect", interpret=True)
     )
     np.testing.assert_allclose(wide, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_conv_block_sparse_dx_matches_valid(rng):
+    """The dx kernel (zero halo assembled in-kernel, round 5) == the
+    padded valid-conv dx path on the extended-gradient grid."""
+    from anatomix_tpu.ops.pallas.conv_block import (
+        conv_block_sparse_dx,
+        conv_block_sparse_valid,
+        wide_weights_from_groups_jnp,
+    )
+    from anatomix_tpu.ops.pallas.conv_block_train import (
+        pack_sparse_weights_jnp,
+    )
+
+    ci, co, s = 16, 16, 32
+    d = h = wd = s
+    dpre = jnp.asarray(
+        rng.standard_normal((1, s, s, s, 8 * co)).astype(np.float32)
+    )
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, 3, ci, co)) * 0.05).astype(np.float32)
+    )
+    wflip = w[::-1, ::-1, ::-1].transpose(0, 1, 2, 4, 3)
+    f0, f1, f2 = pack_sparse_weights_jnp(wflip)
+    zb8 = jnp.zeros((1, 8 * ci), jnp.float32)
+    ext = tuple(-(-(x + 2) // 8) * 8 for x in (d, h, wd))
+    dpre_p = jnp.pad(
+        dpre,
+        ((0, 0), (2, 2 + ext[0] - (d + 2)), (2, 2 + ext[1] - (h + 2)),
+         (2, (ext[2] + 2 - (wd + 2)) + ((-(ext[2] + 2)) % 8)), (0, 0)),
+    )
+    ref = np.asarray(
+        conv_block_sparse_valid(
+            dpre_p, f0, f1, f2, zb8, act="none", out_dtype=jnp.float32,
+            interpret=True, out_w=ext[2],
+        )
+    )[:, : d + 2, : h + 2, : wd + 2]
+    fg = wide_weights_from_groups_jnp(f0, f1, f2, co)
+    got = np.asarray(
+        conv_block_sparse_dx(
+            dpre, *fg, zb8, ext=ext, out_dtype=jnp.float32,
+            interpret=True,
+        )
+    )[:, : d + 2, : h + 2, : wd + 2]
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
