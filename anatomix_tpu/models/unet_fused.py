@@ -648,16 +648,24 @@ def unet_apply_fused(
         elif spec.kind == "pool":
             if in_block:
                 # 2^3 pooling windows == s2d blocks: a per-block channel-
-                # group reduction that exits block layout for free
-                B, d, h, w, c8 = feat.shape
-                grouped = feat.reshape(B, d, h, w, 8, c8 // 8)
-                feat = (
-                    jnp.max(grouped, axis=-2)
-                    if cfg.pooling == "Max"
-                    else jnp.mean(
-                        grouped.astype(jnp.float32), axis=-2
-                    ).astype(feat.dtype)
-                )
+                # group reduction that exits block layout for free.
+                # LANE-SLICE form: the (…, 8, C) split view relayouts on
+                # TPU (~2.1 ms of the dev fwd, wave-40 trace)
+                c = feat.shape[-1] // 8
+                if cfg.pooling == "Max":
+                    acc = feat[..., :c]
+                    for gi in range(1, 8):
+                        acc = jnp.maximum(
+                            acc, feat[..., gi * c: (gi + 1) * c]
+                        )
+                    feat = acc
+                else:
+                    acc = feat[..., :c].astype(jnp.float32)
+                    for gi in range(1, 8):
+                        acc = acc + feat[
+                            ..., gi * c: (gi + 1) * c
+                        ].astype(jnp.float32)
+                    feat = (acc * 0.125).astype(feat.dtype)
                 in_block = False
             else:
                 feat = (
