@@ -358,6 +358,30 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
             mean = jnp.mean(m_lane.reshape(B, 8, c8 // 8), axis=1)
             m2 = jnp.mean(m2_lane.reshape(B, 8, c8 // 8), axis=1)
             var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            if feat.dtype != jnp.float32:
+                # sub-f32 apply (subtract-first Sterbenz form, see
+                # ops/norms._bn_train_impl): the f32 materialization of
+                # the normalized volume was ~2.2 ms of the dev fwd
+                # (wave-45 trace). Per-channel affine folds into (a, b)
+                # in f32; the channel-mean's own bf16 quantization folds
+                # back into the shift.
+                inv = jax.lax.rsqrt(var + eps)
+                a = inv
+                bsh = jnp.zeros_like(mean)
+                if scale is not None:
+                    a = a * scale.astype(jnp.float32)
+                if bias is not None:
+                    bsh = bsh + bias.astype(jnp.float32)
+                m_b = mean.astype(feat.dtype)
+                bsh = bsh + (m_b.astype(jnp.float32) - mean) * a
+                t8 = lambda t: jnp.tile(t, (1, 8))[:, None, None, None, :]
+                y = (
+                    (feat - t8(m_b)) * t8(a).astype(feat.dtype)
+                    + t8(bsh).astype(feat.dtype)
+                )
+                if act_fn is not None:
+                    y = act_fn(y)
+                return y.astype(feat.dtype)
             mean8 = jnp.tile(mean, (1, 8))[:, None, None, None, :]
             inv8 = jnp.tile(
                 jax.lax.rsqrt(var + eps), (1, 8)
