@@ -74,6 +74,29 @@ def build(which):
             )
         )(jax.random.PRNGKey(1))
         return jax.jit(ext.impl), (vol, ext.arrays), 1
+    if which == "devtiled":
+        # 94M dev full_tiled 256³ — the fast-extraction headline
+        # (BENCH dev_unet_full_tiled_256_seconds)
+        from anatomix_tpu.extract import make_feature_extractor
+        from anatomix_tpu.models.registry import ANATOMIX_VARIANTS
+        from anatomix_tpu.models.unet import (
+            UnetConfig, build_plan, init_params,
+        )
+
+        plan = build_plan(
+            UnetConfig(**ANATOMIX_VARIANTS["anatomix-dev"]["unet_kwargs"])
+        )
+        ext = make_feature_extractor(
+            plan, init_params(plan, jax.random.PRNGKey(0)),
+            strategy="full_tiled", roi_size=(128, 128, 128),
+            compute_dtype=jnp.bfloat16,
+        )
+        vol = jax.jit(
+            lambda k: jax.random.normal(
+                k, (1, 256, 256, 256, 1), jnp.float32
+            )
+        )(jax.random.PRNGKey(1))
+        return ext.impl, (vol, ext.arrays), 1
     if which == "dev":
         # 94M dev per-window fused fwd @128³ (the sliding path's inner
         # call: live per-window instance norm). 343 of these make the
