@@ -386,6 +386,54 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
             inv8 = jnp.tile(
                 jax.lax.rsqrt(var + eps), (1, 8)
             )[:, None, None, None, :]
+        elif all(s % n == 0 for s, n in zip((d, h, w), tile_counts)):
+            # EVEN tiles (the production 256³/roi-128 case): per-tile
+            # stats via free major-dim splits + cast-fused reductions,
+            # per-tile affine applied on the same 8-D view. The old
+            # path materialized f32 squares (2.1 GB at dev/256³) and
+            # broadcast stats back with jnp.repeat -> while-loops +
+            # dynamic-update-slices — ~400 ms of the 735 ms full_tiled
+            # trace (wave 47).
+            t0, t1, t2 = tile_counts
+            d0, h0, w0 = d // t0, h // t1, w // t2
+            c = c8 // 8
+            v = feat.reshape(B, t0, d0, t1, h0, t2, w0, c8)
+            cnt = jnp.float32(d0 * h0 * w0 * 8)
+            s1 = jnp.sum(
+                v, axis=(2, 4, 6), dtype=jnp.float32
+            )  # (B, t0, t1, t2, 8C)
+            s2 = jnp.sum(
+                jnp.square(v.astype(jnp.float32)), axis=(2, 4, 6)
+            )
+            sh = (B, t0, t1, t2, 8, c)
+            mean = jnp.sum(s1.reshape(sh), axis=4) / cnt
+            m2 = jnp.sum(s2.reshape(sh), axis=4) / cnt
+            var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            a = jax.lax.rsqrt(var + eps)
+            bsh = jnp.zeros_like(mean)
+            if scale is not None:
+                a = a * scale.astype(jnp.float32)
+            if bias is not None:
+                bsh = bsh + bias.astype(jnp.float32)
+            if feat.dtype == jnp.float32:
+                m_b = mean
+            else:
+                m_b = mean.astype(feat.dtype).astype(jnp.float32)
+                bsh = bsh + (m_b - mean) * a
+                m_b = m_b.astype(feat.dtype)
+
+            def bc(t):  # (B,t0,t1,t2,C) -> broadcastable over the view
+                t8 = jnp.tile(t, (1, 1, 1, 1, 8))
+                return t8[:, :, None, :, None, :, None, :]
+
+            y = (
+                (v - bc(m_b).astype(v.dtype)).astype(jnp.float32)
+                * bc(a)
+                + bc(bsh)
+            )
+            if act_fn is not None:
+                y = act_fn(y)
+            return y.reshape(feat.shape).astype(feat.dtype)
         else:
             g = f32.reshape(B, d, h, w, 8, c8 // 8)
             sizes = [
