@@ -386,7 +386,10 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
             inv8 = jnp.tile(
                 jax.lax.rsqrt(var + eps), (1, 8)
             )[:, None, None, None, :]
-        elif all(s % n == 0 for s, n in zip((d, h, w), tile_counts)):
+        elif all(
+            len(set(_even_chunk_sizes(s, n))) == 1
+            for s, n in zip((d, h, w), tile_counts)
+        ):
             # EVEN tiles (the production 256³/roi-128 case): per-tile
             # stats via free major-dim splits + cast-fused reductions,
             # per-tile affine applied on the same 8-D view. The old

@@ -120,7 +120,10 @@ def tiled_instance_norm(
     if nt == (1, 1, 1):
         return instance_norm(x, eps=eps, scale=scale, bias=bias)
     spatial = x.shape[1:4]
-    if all(s % n == 0 for s, n in zip(spatial, nt)):
+    if all(
+        len(set(_even_chunk_sizes(s, n))) == 1
+        for s, n in zip(spatial, nt)
+    ):
         # EVEN tiles: free major-dim splits + cast-fused reductions and
         # a broadcast apply — the generic path materializes f32 squares
         # and rebroadcasts stats via jnp.repeat (while-loops + dynamic-
