@@ -331,8 +331,33 @@ def _conv_block_dense(x_block, packed, pad_type, out_dtype, interpret):
     return out
 
 
+def _norm_kernel_ok(act_fn, act_name, interpret) -> bool:
+    """Route the (tiled) instance-norm apply to the Pallas kernel: the
+    act must be representable by NAME (the kernel epilogue), and the
+    backend must be TPU (or interpret)."""
+    if act_fn is not None and act_name is None:
+        return False
+    if _os.environ.get("ANATOMIX_NORM_KERNEL", "0") != "1":
+        return False
+    return jax.default_backend() not in ("cpu",) or interpret
+
+
+def _fold_affine(mean, var, eps, scale, bias):
+    """Per-(tile,)channel f32 affine (a, shift) with y = x*a + shift ==
+    (x - mean) * rsqrt(var+eps) * scale + bias (f32 in-kernel compute —
+    no Sterbenz form needed)."""
+    a = jax.lax.rsqrt(var + eps)
+    if scale is not None:
+        a = a * scale.astype(jnp.float32)
+    sft = -mean * a
+    if bias is not None:
+        sft = sft + bias.astype(jnp.float32)
+    return a, sft
+
+
 def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
-                       act_fn=None, tile_counts=None):
+                       act_fn=None, tile_counts=None, act_name=None,
+                       interpret=False):
     """Instance norm on either layout; in block layout the per-channel
     stats pool over spatial dims AND the 8 sub-position lane groups (the
     lane-dim split reshape is free in XLA). The following activation, if
@@ -358,6 +383,19 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
             mean = jnp.mean(m_lane.reshape(B, 8, c8 // 8), axis=1)
             m2 = jnp.mean(m2_lane.reshape(B, 8, c8 // 8), axis=1)
             var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            if _norm_kernel_ok(act_fn, act_name, interpret):
+                a, sft = _fold_affine(mean, var, eps, scale, bias)
+                from anatomix_tpu.ops.pallas.norm_apply import (
+                    norm_apply_block,
+                )
+
+                t8 = lambda t: jnp.tile(t, (1, 8))[
+                    :, None, None, None, :
+                ]
+                return norm_apply_block(
+                    feat, t8(a), t8(sft), act=act_name or "none",
+                    interpret=interpret,
+                )
             if feat.dtype != jnp.float32:
                 # sub-f32 apply (subtract-first Sterbenz form, see
                 # ops/norms._bn_train_impl): the f32 materialization of
@@ -412,6 +450,18 @@ def _instance_norm_any(feat, in_block, *, eps, scale=None, bias=None,
             mean = jnp.sum(s1.reshape(sh), axis=4) / cnt
             m2 = jnp.sum(s2.reshape(sh), axis=4) / cnt
             var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+            if _norm_kernel_ok(act_fn, act_name, interpret):
+                a, sft = _fold_affine(mean, var, eps, scale, bias)
+                from anatomix_tpu.ops.pallas.norm_apply import (
+                    norm_apply_block,
+                )
+
+                tile8 = lambda t: jnp.tile(t, (1, 1, 1, 1, 8))
+                return norm_apply_block(
+                    feat, tile8(a), tile8(sft),
+                    tile_counts=tuple(tile_counts),
+                    act=act_name or "none", interpret=interpret,
+                )
             a = jax.lax.rsqrt(var + eps)
             bsh = jnp.zeros_like(mean)
             if scale is not None:
@@ -699,12 +749,15 @@ def unet_apply_fused(
             # (the standalone act was ~2.8 ms of the 94M dev fwd @128³,
             # wave-33 trace)
             act_here = None
+            act_here_name = None
             if idx + 1 < plan.num_layers and (idx + 1) not in consumed:
                 nkind = plan.layers[idx + 1].kind
                 if nkind == "act":
                     act_here = act
+                    act_here_name = cfg.activation
                 elif nkind == "final_act":
                     act_here = final_act
+                    act_here_name = cfg.final_act
             if act_here is not None:
                 norm_consumed.add(idx + 1)
             feat = _instance_norm_any(
@@ -712,6 +765,12 @@ def unet_apply_fused(
                 scale=p.get("scale") if p else None,
                 bias=p.get("bias") if p else None,
                 act_fn=act_here,
+                act_name=(
+                    act_here_name
+                    if act_here_name in _EPILOGUE_ACTS
+                    else None
+                ),
+                interpret=interpret,
                 tile_counts=in_tile_counts,
             )
         elif spec.kind == "act":

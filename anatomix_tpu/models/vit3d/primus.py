@@ -696,7 +696,7 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
             tok["stem"].get("b"), act="none", pad_type="zeros",
             compute_dtype=cd,
         )
-    yb = _instance_norm_any(yb, True, eps=cfg.in_eps, act_fn=lrelu)
+    yb = _instance_norm_any(yb, True, eps=cfg.in_eps, act_fn=lrelu, act_name="lrelu")
     y = None  # (block yb) xor (dense y): materialize one representation
 
     def to_dense(y, yb):
@@ -741,7 +741,7 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
             yb = space_to_depth(y.astype(cd), interpret=interpret)
             y = None
             yb = _instance_norm_any(
-                yb, True, eps=cfg.in_eps, act_fn=lrelu
+                yb, True, eps=cfg.in_eps, act_fn=lrelu, act_name="lrelu"
             )
             for blk in stage["blocks"]:
                 r = yb
@@ -750,7 +750,7 @@ def _tokenizer_v2_fused(cfg, tok, x, compute_dtype=None):
                     interpret=interpret,
                 )
                 z = _instance_norm_any(
-                    z, True, eps=cfg.in_eps, act_fn=lrelu
+                    z, True, eps=cfg.in_eps, act_fn=lrelu, act_name="lrelu"
                 )
                 z = conv_block_sparse(
                     z, pack(blk["conv2"]), pad_type="zeros",
