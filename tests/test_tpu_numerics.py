@@ -536,3 +536,34 @@ def test_trilinear_block_pallas_matches_xla_hw():
         np.testing.assert_allclose(got, ref, atol=2e-6, rtol=2e-6)
     finally:
         os.environ.pop("ANATOMIX_TRILIN_FLAT", None)
+
+
+def test_norm_apply_kernel_matches_xla_hw():
+    """The Pallas (tiled) instance-norm apply kernel == the XLA affine
+    at a production extent on real hardware (round 5, default ON)."""
+    from anatomix_tpu.ops.pallas.norm_apply import norm_apply_block
+
+    rng = np.random.default_rng(31)
+    B, d, c8 = 1, 32, 256
+    t = (2, 2, 2)
+    x = jnp.asarray(
+        rng.standard_normal((B, d, d, d, c8)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    a = jnp.asarray(
+        (rng.standard_normal((B, 2, 2, 2, c8)) * 0.1 + 1.0).astype(
+            np.float32
+        )
+    )
+    s = jnp.asarray(
+        rng.standard_normal((B, 2, 2, 2, c8)).astype(np.float32)
+    )
+    got = np.asarray(
+        norm_apply_block(x, a, s, tile_counts=t, act="lrelu"), np.float32
+    )
+    # XLA reference: 8-D broadcast affine
+    v = x.reshape(B, 2, 16, 2, 16, 2, 16, c8).astype(jnp.float32)
+    bc = lambda q: q[:, :, None, :, None, :, None, :]
+    y = v * bc(a) + bc(s)
+    y = jnp.where(y >= 0, y, 0.2 * y)
+    ref = np.asarray(y.reshape(x.shape), np.float32)
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)
